@@ -1,0 +1,41 @@
+"""Test config: force CPU JAX with 8 virtual devices so multi-chip sharding
+tests run anywhere, per SURVEY.md section 4."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+ORACLE = REPO / "tools" / "ref_oracle" / "build" / "oracle"
+DATA = pathlib.Path(__file__).resolve().parent / "data"
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    """Path to the reference-oracle binary; builds it on first use."""
+    if not ORACLE.exists():
+        subprocess.run([str(REPO / "tools" / "ref_oracle" / "build.sh")],
+                       check=True)
+    return str(ORACLE)
+
+
+@pytest.fixture(scope="session")
+def bees_rgb():
+    from PIL import Image
+    im = Image.open(DATA / "bees.png").convert("RGB")
+    return np.asarray(im)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
