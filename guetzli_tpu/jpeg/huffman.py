@@ -74,64 +74,72 @@ def counts_with_sentinel(counts: np.ndarray, values: np.ndarray,
 
 # ---------------------------------------------------------------------------
 # Optimal length-limited Huffman code construction (encode side).
-# Package-merge-free approach: build an unconstrained Huffman tree; if its
-# depth exceeds the limit, redo with counts scaled down (count = count//2 + 1)
-# until it fits. Same convergence strategy as the reference
-# (guetzli/entropy_encode.cc:76-147), standard in Brotli-family coders.
+# Behavior-identical to the reference's builder (the brotli-style two-queue
+# merge with count-limit doubling, guetzli/entropy_encode.cc:76-147) so that
+# emitted DHT tables — and therefore whole output files — match byte-for-byte.
 # ---------------------------------------------------------------------------
-
-def _tree_depths(hist: np.ndarray) -> np.ndarray:
-    """Unconstrained Huffman code lengths for symbols with hist>0 (ties broken
-    toward shallow trees by preferring lower symbol index / earlier nodes)."""
-    import heapq
-
-    n = len(hist)
-    heap = []
-    serial = 0
-    # (weight, tiebreak, node). Leaf node = ('L', sym); internal = ('I', l, r)
-    for sym in range(n):
-        if hist[sym] > 0:
-            heap.append((int(hist[sym]), serial, ('L', sym)))
-            serial += 1
-    heapq.heapify(heap)
-    depths = np.zeros(n, dtype=np.int32)
-    if not heap:
-        return depths
-    if len(heap) == 1:
-        depths[heap[0][2][1]] = 1
-        return depths
-    while len(heap) > 1:
-        w1, _, n1 = heapq.heappop(heap)
-        w2, _, n2 = heapq.heappop(heap)
-        heapq.heappush(heap, (w1 + w2, serial, ('I', n1, n2)))
-        serial += 1
-
-    def assign(node, d):
-        stack = [(node, d)]
-        while stack:
-            nd, dd = stack.pop()
-            if nd[0] == 'L':
-                depths[nd[1]] = dd
-            else:
-                stack.append((nd[1], dd + 1))
-                stack.append((nd[2], dd + 1))
-
-    assign(heap[0][2], 0)
-    return depths
-
 
 def build_huffman_code_lengths(histogram: np.ndarray,
                                limit: int = MAX_BIT_LENGTH) -> np.ndarray:
-    """Depth assignment for a canonical Huffman code, max depth `limit`."""
-    hist = np.asarray(histogram, dtype=np.int64).copy()
+    """Depth assignment for a canonical Huffman code, max depth `limit`.
+
+    Tie-breaking matches the reference: leaves ordered by (count asc,
+    symbol desc); on equal counts a leaf is merged before an internal node.
+    Depth overflow is resolved by clamping counts to a doubling lower bound
+    and retrying.
+    """
+    hist = np.asarray(histogram, dtype=np.int64)
+    n_syms = len(hist)
+    depths = np.zeros(n_syms, dtype=np.int32)
+    count_limit = 1
     while True:
-        depths = _tree_depths(hist)
-        if depths.max(initial=0) <= limit:
+        # Leaves sorted by (count asc, symbol desc).
+        leaves = sorted(((max(int(hist[s]), count_limit), -s)
+                         for s in range(n_syms) if hist[s] > 0),
+                        key=lambda t: (t[0], t[1]))
+        if not leaves:
             return depths
-        # Flatten the distribution and retry (halving preserves optimality
-        # well in practice and terminates quickly).
-        nz = hist > 0
-        hist[nz] = hist[nz] // 2 + 1
+        if len(leaves) == 1:
+            depths[:] = 0
+            depths[-leaves[0][1]] = 1
+            return depths
+        # Two-queue merge: sorted leaf queue + FIFO internal-node queue;
+        # a leaf wins ties (<=). Nodes: (count, left, right) or (count, sym).
+        leaf_nodes = [(w, ('L', -negsym)) for w, negsym in leaves]
+        internal = []
+        li = ii = 0
+
+        def take():
+            nonlocal li, ii
+            lw = leaf_nodes[li][0] if li < len(leaf_nodes) else None
+            iw = internal[ii][0] if ii < len(internal) else None
+            if iw is None or (lw is not None and lw <= iw):
+                li += 1
+                return leaf_nodes[li - 1]
+            ii += 1
+            return internal[ii - 1]
+
+        for _ in range(len(leaf_nodes) - 1):
+            a = take()
+            b = take()
+            internal.append((a[0] + b[0], ('I', a[1], b[1])))
+
+        depths[:] = 0
+        ok = True
+        stack = [(internal[-1][1], 0)]
+        while stack:
+            node, d = stack.pop()
+            if node[0] == 'L':
+                if d > limit:
+                    ok = False
+                    break
+                depths[node[1]] = d
+            else:
+                stack.append((node[1], d + 1))
+                stack.append((node[2], d + 1))
+        if ok:
+            return depths
+        count_limit *= 2
 
 
 def depths_to_canonical(depths: np.ndarray

@@ -26,6 +26,7 @@
 #include "guetzli/jpeg_data.h"
 #include "guetzli/jpeg_data_reader.h"
 #include "guetzli/jpeg_data_decoder.h"
+#include "guetzli/jpeg_data_writer.h"
 #include "guetzli/quality.h"
 #include "guetzli/stats.h"
 #include "guetzli/fdct.h"
@@ -159,6 +160,24 @@ int main(int argc, char** argv) {
     for (const auto& c : jpg.components)
       fwrite(c.coeffs.data(), sizeof(guetzli::coeff_t), c.coeffs.size(), cf);
     fclose(cf);
+    return 0;
+  }
+  if (mode == "reencode") {
+    // reencode <in.jpg> <strip01> <out.jpg>: parse + WriteJpeg (the
+    // reference serializer with optimal Huffman), for writer byte-parity.
+    std::string in = ReadFile(argv[2]);
+    int strip = atoi(argv[3]);
+    guetzli::JPEGData jpg;
+    if (!guetzli::ReadJpeg(in, guetzli::JPEG_READ_ALL, &jpg)) return 1;
+    std::string out;
+    auto append = [](void* data, const uint8_t* buf, size_t count) -> int {
+      ((std::string*)data)->append((const char*)buf, count);
+      return (int)count;
+    };
+    guetzli::JPEGOutput writer(append, &out);
+    if (!guetzli::WriteJpeg(jpg, strip != 0, writer)) return 1;
+    WriteFile(argv[4], out.data(), out.size());
+    printf("size=%zu\n", out.size());
     return 0;
   }
   if (mode == "decode_rgb") {
