@@ -27,6 +27,7 @@
 #include "guetzli/jpeg_data_reader.h"
 #include "guetzli/jpeg_data_decoder.h"
 #include "guetzli/jpeg_data_writer.h"
+#include "guetzli/jpeg_data_encoder.h"
 #include "guetzli/quality.h"
 #include "guetzli/stats.h"
 #include "guetzli/fdct.h"
@@ -178,6 +179,21 @@ int main(int argc, char** argv) {
     if (!guetzli::WriteJpeg(jpg, strip != 0, writer)) return 1;
     WriteFile(argv[4], out.data(), out.size());
     printf("size=%zu\n", out.size());
+    return 0;
+  }
+  if (mode == "encode_rgb_coeffs") {
+    // encode_rgb_coeffs <w> <h> <rgb.raw> <out.i16>: the RGB->JPEG
+    // bootstrap (YUV16 + FDCT + quant=1), dumping raw coefficients.
+    int w = atoi(argv[2]), h = atoi(argv[3]);
+    std::string raw = ReadFile(argv[4]);
+    std::vector<uint8_t> rgb(raw.begin(), raw.end());
+    guetzli::JPEGData jpg;
+    if (!guetzli::EncodeRGBToJpeg(rgb, w, h, &jpg)) return 1;
+    FILE* cf = fopen(argv[5], "wb");
+    for (const auto& c : jpg.components)
+      fwrite(c.coeffs.data(), sizeof(guetzli::coeff_t), c.coeffs.size(), cf);
+    fclose(cf);
+    printf("nblocks=%d\n", jpg.components[0].num_blocks);
     return 0;
   }
   if (mode == "decode_rgb") {
