@@ -28,6 +28,7 @@
 #include "guetzli/jpeg_data_decoder.h"
 #include "guetzli/jpeg_data_writer.h"
 #include "guetzli/jpeg_data_encoder.h"
+#include "guetzli/output_image.h"
 #include "guetzli/quality.h"
 #include "guetzli/stats.h"
 #include "guetzli/fdct.h"
@@ -194,6 +195,27 @@ int main(int argc, char** argv) {
       fwrite(c.coeffs.data(), sizeof(guetzli::coeff_t), c.coeffs.size(), cf);
     fclose(cf);
     printf("nblocks=%d\n", jpg.components[0].num_blocks);
+    return 0;
+  }
+  if (mode == "roundtrip_outputimage") {
+    // roundtrip_outputimage <in.jpg> <out.jpg>: ReadJpeg ->
+    // OutputImage::CopyFromJpegData -> SaveToJpegData -> WriteJpeg.
+    // Exercises dequantize + requantize + padding-block semantics.
+    std::string in = ReadFile(argv[2]);
+    guetzli::JPEGData jpg;
+    if (!guetzli::ReadJpeg(in, guetzli::JPEG_READ_ALL, &jpg)) return 1;
+    guetzli::OutputImage img(jpg.width, jpg.height);
+    img.CopyFromJpegData(jpg);
+    guetzli::JPEGData out_jpg;
+    img.SaveToJpegData(&out_jpg);
+    std::string out;
+    auto append = [](void* data, const uint8_t* buf, size_t count) -> int {
+      ((std::string*)data)->append((const char*)buf, count);
+      return (int)count;
+    };
+    guetzli::JPEGOutput writer(append, &out);
+    if (!guetzli::WriteJpeg(out_jpg, true, writer)) return 1;
+    WriteFile(argv[3], out.data(), out.size());
     return 0;
   }
   if (mode == "decode_rgb") {
