@@ -171,10 +171,11 @@ def init_yuv444(width: int, height: int) -> JPEGData:
     jpg.max_v_samp_factor = 1
     jpg.MCU_rows = nby
     jpg.MCU_cols = nbx
-    jpg.quant = [QuantTable(values=np.ones(64, dtype=np.int32))]
     for i in range(3):
+        jpg.quant.append(QuantTable(values=np.ones(64, dtype=np.int32),
+                                    index=i))
         jpg.components.append(Component(
-            id=i + 1, h_samp_factor=1, v_samp_factor=1, quant_idx=0,
+            id=i, h_samp_factor=1, v_samp_factor=1, quant_idx=i,
             width_in_blocks=nbx, height_in_blocks=nby,
             coeffs=np.zeros((nbx * nby, 64), dtype=np.int16)))
     return jpg
