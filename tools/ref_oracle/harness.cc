@@ -14,6 +14,8 @@
 //   oracle opsin <w> <h> <rgb.raw> <out.f32>                  # OpsinDynamicsImage planes
 //   oracle blur <w> <h> <plane.f32> <sigma> <border> <out.f32>
 //   oracle mask <w> <h> <rgb0.raw> <rgb1.raw> <out.f32>       # mask xyb planes (3+3)
+#include <algorithm>
+#include <utility>
 #include <cassert>
 #include <cstdint>
 #include <cstdio>
@@ -29,6 +31,7 @@
 #include "guetzli/jpeg_data_writer.h"
 #include "guetzli/jpeg_data_encoder.h"
 #include "guetzli/output_image.h"
+#include "guetzli/butteraugli_comparator.h"
 #include "guetzli/quality.h"
 #include "guetzli/stats.h"
 #include "guetzli/fdct.h"
@@ -77,6 +80,7 @@ int main(int argc, char** argv) {
   if (mode == "encode_rgb" || mode == "encode_jpg") {
     guetzli::Params params;
     guetzli::ProcessStats stats;
+    if (getenv("ORACLE_VERBOSE")) stats.debug_output_file = stderr;
     std::string out;
     bool ok;
     if (mode == "encode_rgb") {
@@ -216,6 +220,152 @@ int main(int argc, char** argv) {
     guetzli::JPEGOutput writer(append, &out);
     if (!guetzli::WriteJpeg(out_jpg, true, writer)) return 1;
     WriteFile(argv[3], out.data(), out.size());
+    return 0;
+  }
+  if (mode == "block_compare") {
+    // block_compare <w> <h> <rgb.raw> <quality> <state.jpg> <out.f32>
+    // Per-block CompareBlock error of the state image vs the original,
+    // through the reference's public comparator API.
+    int w = atoi(argv[2]), h = atoi(argv[3]);
+    std::string raw = ReadFile(argv[4]);
+    std::vector<uint8_t> rgb(raw.begin(), raw.end());
+    double target = guetzli::ButteraugliScoreForQuality(atof(argv[5]));
+    std::string in = ReadFile(argv[6]);
+    guetzli::JPEGData jpg;
+    if (!guetzli::ReadJpeg(in, guetzli::JPEG_READ_ALL, &jpg)) return 1;
+    guetzli::OutputImage img(jpg.width, jpg.height);
+    img.CopyFromJpegData(jpg);
+    guetzli::ProcessStats stats;
+    guetzli::ButteraugliComparator cmp(w, h, &rgb, target, &stats);
+    cmp.StartBlockComparisons();
+    int fx = img.component(0).factor_x(), fy = img.component(0).factor_y();
+    int bw = (w + 8 * fx - 1) / (8 * fx), bh = (h + 8 * fy - 1) / (8 * fy);
+    std::vector<float> errs;
+    for (int by = 0; by < bh; ++by)
+      for (int bx = 0; bx < bw; ++bx) {
+        cmp.SwitchBlock(bx, by, fx, fy);
+        errs.push_back(cmp.CompareBlock(img, 0, 0));
+      }
+    WriteFile(argv[7], errs.data(), errs.size() * sizeof(float));
+    return 0;
+  }
+  if (mode == "block_weights") {
+    // block_weights <w> <h> <rgb.raw> <quality> <state.jpg> <dir> <rblock>
+    //               <out.f32>
+    int w = atoi(argv[2]), h = atoi(argv[3]);
+    std::string raw = ReadFile(argv[4]);
+    std::vector<uint8_t> rgb(raw.begin(), raw.end());
+    double target = guetzli::ButteraugliScoreForQuality(atof(argv[5]));
+    std::string in = ReadFile(argv[6]);
+    int dir = atoi(argv[7]);
+    int rblock = atoi(argv[8]);
+    guetzli::JPEGData jpg;
+    if (!guetzli::ReadJpeg(in, guetzli::JPEG_READ_ALL, &jpg)) return 1;
+    guetzli::OutputImage img(jpg.width, jpg.height);
+    img.CopyFromJpegData(jpg);
+    guetzli::ProcessStats stats;
+    guetzli::ButteraugliComparator cmp(w, h, &rgb, target, &stats);
+    cmp.Compare(img);
+    printf("distance=%.8f\n", cmp.distmap_aggregate());
+    int bw = (w + 7) / 8, bh = (h + 7) / 8;
+    std::vector<float> weights(bw * bh);
+    cmp.ComputeBlockErrorAdjustmentWeights(dir, rblock, 1.0, 1, 1,
+                                           cmp.distmap(), &weights);
+    WriteFile(argv[9], weights.data(), weights.size() * sizeof(float));
+    return 0;
+  }
+
+  if (mode == "zeroing_order") {
+    // zeroing_order <w> <h> <rgb.raw> <quality> <state.jpg> <orig.jpg>
+    //               <b0> <b1> <out.bin>
+    // Replicates the reference's greedy per-block zeroing (processor.cc:
+    // 364-467) through the public comparator API and dumps (idx, err)
+    // sequences for blocks [b0, b1).
+    int w = atoi(argv[2]), h = atoi(argv[3]);
+    std::string raw = ReadFile(argv[4]);
+    std::vector<uint8_t> rgb(raw.begin(), raw.end());
+    double target = guetzli::ButteraugliScoreForQuality(atof(argv[5]));
+    std::string in = ReadFile(argv[6]);
+    guetzli::JPEGData jpg;
+    if (!guetzli::ReadJpeg(in, guetzli::JPEG_READ_ALL, &jpg)) return 1;
+    std::string in_orig = ReadFile(argv[7]);
+    guetzli::JPEGData jpg_orig;
+    if (!guetzli::ReadJpeg(in_orig, guetzli::JPEG_READ_ALL, &jpg_orig))
+      return 1;
+    // dequantize jpg_orig in place (RemoveOriginalQuantization equivalent)
+    for (int c = 0; c < 3; ++c) {
+      auto& comp = jpg_orig.components[c];
+      const auto& qv = jpg_orig.quant[comp.quant_idx].values;
+      for (size_t j = 0; j < comp.coeffs.size(); ++j)
+        comp.coeffs[j] *= qv[j % 64];
+    }
+    int b0 = atoi(argv[8]), b1 = atoi(argv[9]);
+    guetzli::OutputImage img(jpg.width, jpg.height);
+    img.CopyFromJpegData(jpg);
+    guetzli::ProcessStats stats;
+    guetzli::ButteraugliComparator cmp(w, h, &rgb, target, &stats);
+    cmp.StartBlockComparisons();
+#include "guetzli/order.inc"
+    int bw = (w + 7) / 8;
+    FILE* f = fopen(argv[10], "wb");
+    for (int bix = b0; bix < b1; ++bix) {
+      int bx = bix % bw, by = bix / bw;
+      guetzli::coeff_t block[192];
+      guetzli::coeff_t orig_block[192];
+      for (int c = 0; c < 3; ++c) {
+        img.component(c).GetCoeffBlock(bx, by, &block[c * 64]);
+        const auto& comp = jpg_orig.components[c];
+        int jix = by * comp.width_in_blocks + bx;
+        memcpy(&orig_block[c * 64], &comp.coeffs[jix * 64],
+               64 * sizeof(guetzli::coeff_t));
+      }
+      std::vector<std::pair<int, float> > order;
+      for (int c = 0; c < 3; ++c)
+        for (int k = 1; k < 64; ++k) {
+          int idx = c * 64 + k;
+          if (block[idx] != 0)
+            order.push_back(std::make_pair(idx,
+                std::abs(orig_block[idx]) * csf[idx] + bias[idx]));
+        }
+      std::sort(order.begin(), order.end(),
+                [](const std::pair<int, float>& a,
+                   const std::pair<int, float>& b) {
+                  return a.second < b.second; });
+      guetzli::coeff_t processed[192];
+      memcpy(processed, block, sizeof(processed));
+      cmp.SwitchBlock(bx, by, 1, 1);
+      std::vector<int> out_idx;
+      std::vector<float> out_err;
+      while (!order.empty()) {
+        float best_err = 1e17f;
+        size_t best_i = 0;
+        for (size_t i = 0; i < std::min<size_t>(3, order.size()); ++i) {
+          guetzli::coeff_t cand[192];
+          memcpy(cand, processed, sizeof(cand));
+          cand[order[i].first] = 0;
+          for (int c = 0; c < 3; ++c)
+            img.component(c).SetCoeffBlock(bx, by, &cand[c * 64]);
+          float err = (float)cmp.CompareBlock(img, 0, 0);
+          if (err < best_err) { best_err = err; best_i = i; }
+        }
+        int idx = order[best_i].first;
+        processed[idx] = 0;
+        order.erase(order.begin() + best_i);
+        out_idx.push_back(idx);
+        out_err.push_back(best_err);
+        for (int c = 0; c < 3; ++c)
+          img.component(c).SetCoeffBlock(bx, by, &processed[c * 64]);
+      }
+      for (int c = 0; c < 3; ++c)
+        img.component(c).SetCoeffBlock(bx, by, &block[c * 64]);
+      int n = (int)out_idx.size();
+      fwrite(&n, 4, 1, f);
+      for (int i = 0; i < n; ++i) {
+        fwrite(&out_idx[i], 4, 1, f);
+        fwrite(&out_err[i], 4, 1, f);
+      }
+    }
+    fclose(f);
     return 0;
   }
   if (mode == "decode_rgb") {
