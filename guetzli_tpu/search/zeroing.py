@@ -90,9 +90,14 @@ def _greedy_single(cur_flat: jax.Array, order: jax.Array,
         best_pos = pos[best]
         best_idx = cand_idx[best]
         active = t < n_valid
-        cur = jnp.where(active, cur.at[best_idx].set(0), cur)
-        remaining = remaining.at[best_pos].set(
-            jnp.where(active, False, remaining[best_pos]))
+        # Elementwise one-hot updates instead of batched scatters: under
+        # vmap on the TPU backend, batched dynamic scatters inside this
+        # fori_loop miscompile for large batch sizes (>512 blocks on
+        # TPU v5e — picks repeat forever); the where-form is exact and
+        # lowers to pure vector ops.
+        iota = jnp.arange(cur.shape[0])
+        cur = jnp.where(active & (iota == best_idx), 0, cur)
+        remaining = remaining & ~(active & (iota == best_pos))
         idx_seq = idx_seq.at[t].set(jnp.where(active, best_idx, 0))
         err_seq = err_seq.at[t].set(jnp.where(active, errs[best], INF))
         return cur, remaining, idx_seq, err_seq
