@@ -69,6 +69,26 @@ def _check_memlimit_jpeg(args, data):
     _check_memlimit(args, jpg.width, jpg.height)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: first-ever run pays the ~minutes-long
+    pipeline compile once; every later CLI invocation loads it in seconds.
+    Opt out with GUETZLI_TPU_NO_CACHE=1; override dir with
+    GUETZLI_TPU_CACHE_DIR."""
+    if os.environ.get("GUETZLI_TPU_NO_CACHE"):
+        return
+    import jax
+    cache = os.environ.get(
+        "GUETZLI_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "guetzli_tpu",
+                     "xla"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="guetzli-tpu",
@@ -83,6 +103,7 @@ def main(argv=None) -> int:
     p.add_argument("output", help="output JPEG, '-' for stdout, or a "
                    "directory in batch mode")
     args = p.parse_args(argv)
+    _enable_compile_cache()
 
     if args.quality < 84:
         sys.stderr.write(

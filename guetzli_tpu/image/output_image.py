@@ -10,6 +10,11 @@ positional dither, fancy chroma upsampling, YCbCr->sRGB LUT arithmetic).
 Layouts:
   coeffs:  (nby, nbx, 64) int32, dequantized (coeff * quant), natural order
   pixels16: (H, W) int32, x16 fixed-point (reference pixels_ uint16)
+
+Coefficients are mirrored on the HOST (numpy): the optimizer mutates and
+serializes them there (no device round-trip per iteration — the tunnel
+round-trip latency dominates per-op cost), and uploads them in one batched
+transfer whenever a device computation (pixel mirror / metric) needs them.
 """
 
 from __future__ import annotations
@@ -101,12 +106,12 @@ def srgb_to_linear_planes(srgb: jax.Array, dtype=jnp.float32) -> jax.Array:
 
 @dataclasses.dataclass
 class ComponentState:
-    """One component's device state."""
+    """One component's state (coefficients host-resident)."""
     factor_x: int
     factor_y: int
     width: int              # full-res image width
     height: int
-    coeffs: jax.Array       # (nby, nbx, 64) int32 dequantized
+    coeffs: np.ndarray      # (nby, nbx, 64) int32 dequantized (HOST)
     quant: np.ndarray       # (64,) int32
 
     @property
@@ -118,11 +123,11 @@ class ComponentState:
         return self.coeffs.shape[0]
 
     def is_all_zero(self) -> bool:
-        return not bool(np.any(np.asarray(self.coeffs)))
+        return not bool(np.any(self.coeffs))
 
     def pixels16(self) -> jax.Array:
-        """(H, W) int32 x16 fixed-point pixel mirror."""
-        sub = idct_pixels16(self.coeffs)
+        """(H, W) int32 x16 fixed-point pixel mirror (device)."""
+        sub = idct_pixels16(jnp.asarray(self.coeffs))
         if self.factor_x == 1 and self.factor_y == 1:
             return sub[:self.height, :self.width]
         if self.factor_x == 2 and self.factor_y == 2:
@@ -147,7 +152,7 @@ class OutputImage:
             nby = -(-height // 8)
             self.components.append(ComponentState(
                 1, 1, width, height,
-                jnp.zeros((nby, nbx, 64), dtype=jnp.int32),
+                np.zeros((nby, nbx, 64), dtype=np.int32),
                 np.ones(64, dtype=np.int32)))
 
     def copy(self) -> "OutputImage":
@@ -170,14 +175,14 @@ class OutputImage:
                                       comp.width_in_blocks, 64)
             deq = src[:nby, :nbx].astype(np.int32) * q[None, None, :]
             comps.append(ComponentState(fx, fy, self.width, self.height,
-                                        jnp.asarray(deq), q.copy()))
+                                        deq, q.copy()))
         while len(comps) < 3:
             # grayscale: chroma = all zero at 1x1 (reference keeps 3 comps)
             nbx = -(-self.width // 8)
             nby = -(-self.height // 8)
             comps.append(ComponentState(
                 1, 1, self.width, self.height,
-                jnp.zeros((nby, nbx, 64), dtype=jnp.int32),
+                np.zeros((nby, nbx, 64), dtype=np.int32),
                 np.ones(64, dtype=np.int32)))
         self.components = comps
 
@@ -185,8 +190,7 @@ class OutputImage:
         """Re-quantize every block's dequantized coefficients to multiples
         of q (reference guetzli/output_image.cc:232-243)."""
         for c, comp in enumerate(self.components):
-            qc = jnp.asarray(q[c], dtype=jnp.int32)
-            comp.coeffs = quantize.quantize_nearest(comp.coeffs, qc)
+            comp.coeffs = quantize.quantize_nearest_np(comp.coeffs, q[c])
             comp.quant = np.asarray(q[c], dtype=np.int32).copy()
 
     # --- pixel views ---
@@ -236,7 +240,8 @@ class OutputImage:
             planes = {1: yuv[1], 2: yuv[2]}
         for c, plane in planes.items():
             fx, fy = (1, 1) if c == 0 else (2, 2)
-            coeffs = ds.set_downsampled_coefficients(plane, fx, fy, w, h)
+            coeffs = np.asarray(
+                ds.set_downsampled_coefficients(plane, fx, fy, w, h))
             self.components[c] = ComponentState(
                 fx, fy, w, h, coeffs, self.components[c].quant.copy())
 
@@ -270,7 +275,7 @@ class OutputImage:
             )
             out.width_in_blocks = mcu_cols * out.h_samp_factor
             out.height_in_blocks = mcu_rows * out.v_samp_factor
-            src = np.asarray(comp.coeffs)  # (nby, nbx, 64)
+            src = comp.coeffs              # (nby, nbx, 64) host array
             qc = comp.quant[None, None, :]
             assert np.all(src % qc == 0), "coeffs not divisible by quant"
             div = (src // qc).astype(np.int16)

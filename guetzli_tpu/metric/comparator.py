@@ -103,6 +103,47 @@ def _block_weights(distmap, target_distance, factor_x, factor_y,
     return w
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height", "factors",
+                                              "wfactor"))
+def _compare_coeffs_fused(coeffs, pi0, target_distance, width, height,
+                          factors, wfactor):
+    """One device call per optimizer iteration: host coefficient mirror ->
+    pixel planes -> sRGB -> linear -> opsin -> diffmap -> distance, plus the
+    block-error adjustment weight grids for both directions x rblock 1..4
+    (what the next iteration's global-order build needs). Returns
+    (distmap, packed) where packed = [distance, weights.ravel()] so the host
+    pays a single round trip.
+
+    coeffs: tuple of 3 (nby_c, nbx_c, 64) int32 arrays, or one packed
+    (3, nby, nbx, 64) array when all components share a grid (444 — one
+    host->device transfer instead of three); factors: static per-comp
+    sampling factor (1 or 2); wfactor: the masking pass's block factor."""
+    from guetzli_tpu.image.output_image import (fancy_upsample_16,
+                                                idct_pixels16,
+                                                ycbcr_planes_to_srgb)
+
+    planes = []
+    for c in range(3):
+        sub = idct_pixels16(coeffs[c])
+        if factors[c] == 1:
+            planes.append(sub[:height, :width])
+        else:
+            planes.append(fancy_upsample_16(sub, height, width))
+    lin = srgb8_to_linear(ycbcr_planes_to_srgb(*planes))
+    xyb1 = opsin_dynamics_image(lin)
+    pi1 = separate_frequencies(xyb1)
+    dmap = diffmap_psycho_image(pi0, pi1)
+    dist = jnp.max(dmap)
+    ws = []
+    for direction in (1, -1):
+        for rb in range(1, 5):
+            ws.append(_block_weights(dmap, target_distance, wfactor,
+                                     wfactor, direction, rb, width,
+                                     height).ravel())
+    packed = jnp.concatenate([dist[None].astype(jnp.float32)] + ws)
+    return dmap, packed
+
+
 class ButteraugliComparatorTPU(Comparator):
     """Device-resident butteraugli comparator.
 
@@ -132,6 +173,30 @@ class ButteraugliComparatorTPU(Comparator):
         self.distance = float(dist)
         if self.stats is not None and self.stats.debug:
             print(f" BA D[{self.distance:.4f}]")
+
+    def compare_coeffs(self, coeff_list, factors, wfactor: int,
+                       target_mul: float) -> np.ndarray:
+        """Fused per-iteration comparison from the host coefficient mirror.
+
+        Sets self.distance/self._distmap and returns the block-error weight
+        grids as (2, 4, nby_w, nbx_w): [direction(+1,-1), rblock-1]."""
+        if all(c.shape == coeff_list[0].shape for c in coeff_list[1:]):
+            coeffs = jnp.asarray(np.stack(coeff_list))  # single transfer
+        else:
+            coeffs = tuple(jnp.asarray(np.ascontiguousarray(c)) for c in
+                           coeff_list)
+        dmap, packed = _compare_coeffs_fused(
+            coeffs, self._pi0,
+            jnp.float32(self.target_distance * target_mul),
+            self.width, self.height, tuple(factors), wfactor)
+        self._distmap = dmap
+        host = np.asarray(packed)
+        self.distance = float(host[0])
+        if self.stats is not None and self.stats.debug:
+            print(f" BA D[{self.distance:.4f}]")
+        bw = -(-self.width // (8 * wfactor))
+        bh = -(-self.height // (8 * wfactor))
+        return host[1:].reshape(2, 4, bh, bw)
 
     def compare_linear(self, lin1: jax.Array) -> float:
         dmap, dist = _full_diffmap(self._pi0, _opsin_from_linear(lin1))

@@ -20,6 +20,19 @@ def quantize_nearest(coeffs: jax.Array, quant: jax.Array) -> jax.Array:
     return c + delta
 
 
+def quantize_nearest_np(coeffs, quant):
+    """Host (numpy) twin of quantize_nearest — the optimizer re-quantizes on
+    the host mirror to avoid a device round trip per candidate."""
+    import numpy as np
+    c = np.asarray(coeffs, dtype=np.int32)
+    q = np.asarray(quant, dtype=np.int32)
+    r = c - (c // q) * q
+    r = np.where((c < 0) & (r != 0), r - q * np.sign(q), r)
+    delta = np.where(2 * r > q, q - r,
+                     np.where(-2 * r > q, -q - r, -r))
+    return c + delta
+
+
 def encoder_quantize(coeffs16: jax.Array, quant: jax.Array) -> jax.Array:
     """The RGB-bootstrap quantizer: DCT output is x16 fixed point; divide by
     16*quant with rounding via the reciprocal trick (reference

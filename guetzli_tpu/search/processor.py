@@ -116,7 +116,9 @@ class Processor:
              f"Iter {self.stats.num_iterations}: {img.frame_type_str()} "
              f"GQ[{quant_search.quant_matrix_heuristic_score(q):5.2f}] "
              f"Out[{len(encoded)}]")
-        self.comparator.compare(img)
+        self.comparator.compare_coeffs(
+            [c.coeffs for c in img.components],
+            [c.factor_x for c in img.components], 1, target_mul)
         data.dist_ok = self.comparator.distance_ok(target_mul)
         data.jpg_size = len(encoded)
         self.maybe_output(encoded)
@@ -271,8 +273,13 @@ class Processor:
                 frozen_ac[ci] = h
         n_out_comps = len(jpg_out.components)
 
-        def ac_histos_from(st):
+        def make_incremental(st):
+            """Full per-comp AC histograms of st plus per-block histogram
+            contributions (so a candidate application only re-streams the
+            touched blocks — the in-loop size estimate is O(touched), not
+            O(all blocks), per evaluation)."""
             div = st // quant[None]
+            perblock = {}
             histos = []
             for ci in range(n_out_comps):
                 if ci in frozen_ac:
@@ -280,14 +287,50 @@ class Processor:
                     continue
                 zz = div[:, ci, :][:, NATURAL_ORDER]
                 s = hstats.component_symbol_stream(zz)
+                pb = np.zeros((num_blocks, 256), dtype=np.int64)
+                np.add.at(pb, (s.ac_block_id, s.ac_symbols), 2)
                 h = hstats.new_histogram()
-                np.add.at(h, s.ac_symbols, 2)
+                h[:256] += pb.sum(axis=0)
                 h[0] += 2 * pad_eob.get(ci, 0)
+                perblock[ci] = pb
                 histos.append(h)
-            return histos
+            return histos, perblock
 
-        ac_histos = ac_histos_from(state)
-        base_size = jpg_header_size + dc_size + self._entropy_size(ac_histos)
+        def entropy_with_touched(histos_base, perblock, touched, new_rows):
+            """Entropy size of (base state with rows `touched` replaced by
+            new_rows)."""
+            div_new = new_rows // quant[None]
+            histos = []
+            for ci in range(n_out_comps):
+                if ci in frozen_ac:
+                    histos.append(frozen_ac[ci].copy())
+                    continue
+                h = histos_base[ci].copy()
+                h[:256] -= perblock[ci][touched].sum(axis=0)
+                s = hstats.component_symbol_stream(
+                    div_new[:, ci, :][:, NATURAL_ORDER])
+                np.add.at(h, s.ac_symbols, 2)
+                histos.append(h)
+            return self._entropy_size(histos)
+
+        def update_incremental(histos_base, perblock, touched, new_rows):
+            """Commit an accepted candidate application into the persistent
+            incremental structures (so the next iteration skips the full
+            O(all blocks) rebuild)."""
+            div_new = new_rows // quant[None]
+            for ci in range(n_out_comps):
+                if ci in frozen_ac:
+                    continue
+                s = hstats.component_symbol_stream(
+                    div_new[:, ci, :][:, NATURAL_ORDER])
+                pb_new = np.zeros((len(touched), 256), dtype=np.int64)
+                np.add.at(pb_new, (s.ac_block_id, s.ac_symbols), 2)
+                histos_base[ci][:256] += (pb_new.sum(axis=0)
+                                          - perblock[ci][touched].sum(axis=0))
+                perblock[ci][touched] = pb_new
+
+        inc_histos, inc_perblock = make_incremental(state)
+        base_size = jpg_header_size + dc_size + self._entropy_size(inc_histos)
         prev_size = base_size
         _log(self.stats,
              f"[mask {comp_mask}] GQ[{quant_search.quant_matrix_heuristic_score(quant):.2f}] "
@@ -309,23 +352,26 @@ class Processor:
         sum_of_hf = np.abs(orig[:, :, hf_sel]).sum(axis=2)  # (N, 3)
         precious_limit = np.where(sum_of_hf < 60, 4, 8)     # (N, 3)
 
+        w_grids = None   # (2, 4, bh, bw) from the last fused compare
+
         for direction in (1, -1):
+            di = 0 if direction > 0 else 1
             while True:
                 if stop_early and direction == -1:
                     if prev_size > 1.01 * len(self.final_output.jpeg_data):
                         break
-                # --- global order ---
+                # --- global order (weight grids come precomputed from the
+                # previous iteration's fused device call; the zero-distmap
+                # first-up case reduces to all-ones/zeros on host) ---
                 global_blocks = None
                 block_weight = None
                 for rblock in range(1, 5):
-                    distmap = (self.comparator.distmap()
-                               if not first_up_iter else
-                               jnp.zeros((height, width), jnp.float32))
-                    bw = np.asarray(
-                        self.comparator.
-                        compute_block_error_adjustment_weights(
-                            direction, rblock, target_mul, factor, factor,
-                            distmap)).reshape(-1)
+                    if first_up_iter or w_grids is None:
+                        bw = (np.ones(num_blocks, np.float32)
+                              if direction > 0
+                              else np.zeros(num_blocks, np.float32))
+                    else:
+                        bw = w_grids[di, rblock - 1].reshape(-1)
                     block_weight = bw
                     gb, gv, blocks_to_change = self._build_global_order(
                         direction, bw, cand_err, cand_count, last_indexes,
@@ -352,13 +398,17 @@ class Processor:
                                                          limit, "left")))
                     first_up_iter = False
 
-                m, est_size, state = self._apply_candidates(
-                    direction, global_blocks, state,
-                    cand_idx, last_indexes, orig, orig_div_quant,
-                    precious_limit, min_coeffs, min_size_delta,
-                    prev_size, jpg_header_size, dc_size, ac_histos_from)
+                m, est_size, state, touched, new_rows = (
+                    self._apply_candidates(
+                        direction, global_blocks, state,
+                        cand_idx, last_indexes, orig, orig_div_quant,
+                        precious_limit, min_coeffs, min_size_delta,
+                        prev_size, jpg_header_size, dc_size,
+                        inc_histos, inc_perblock, entropy_with_touched))
                 if m == 0:
                     break
+                update_incremental(inc_histos, inc_perblock, touched,
+                                   new_rows)
                 val_threshold = global_vals[m - 1]
                 applied = np.bincount(global_blocks[:m],
                                       minlength=num_blocks)
@@ -371,12 +421,17 @@ class Processor:
                 else:
                     self.stats.num_iterations_down += 1
 
-                # push new state into the image + true output
+                # push new state into the image + true output; the compare
+                # and the next iteration's weight grids are ONE fused
+                # device call (a single tunnel round trip per iteration)
                 for c in mask_comps:
-                    img.components[c].coeffs = jnp.asarray(
+                    img.components[c].coeffs = np.ascontiguousarray(
                         state[:, c, :].reshape(nby, nbx, 64))
                 encoded = self.output_jpeg(img.save_to_jpeg_data())
-                self.comparator.compare(img)
+                w_grids = self.comparator.compare_coeffs(
+                    [c.coeffs for c in img.components],
+                    [c.factor_x for c in img.components], factor,
+                    target_mul)
                 _log(self.stats,
                      f"Iter {self.stats.num_iterations}: "
                      f"{'up' if direction > 0 else 'down'} "
@@ -506,62 +561,104 @@ class Processor:
                           cand_idx, last_indexes, orig, orig_requant,
                           precious_limit, min_coeffs, min_size_delta,
                           prev_size, jpg_header_size, dc_size,
-                          ac_histos_from):
+                          histos_base, perblock, entropy_with_touched):
         """Applies the first M candidates of the global order, choosing M
-        by binary search on the entropy-size estimate (the reference
+        by interpolation search on the entropy-size estimate (the reference
         applies candidates one-at-a-time with a periodic Huffman refresh,
-        processor.cc:704-750; the estimate is monotone in M so the first
-        stopping index can be bisected)."""
+        processor.cc:704-750; the estimate's deviation from prev_size is
+        monotone in M so the first stopping index can be bracketed). Each
+        size evaluation only re-streams the touched blocks against the
+        pass-persistent per-block histograms, and the candidate expansion
+        is fully vectorized."""
         total = len(global_blocks)
 
+        # Expand the global order once: the j-th occurrence of block b in
+        # global_blocks maps to cand_idx[b, last_indexes[b] +- occ] — so
+        # every prefix application is a pure vector scatter.
+        gb = global_blocks
+        sorter = np.argsort(gb, kind="stable")
+        sorted_b = gb[sorter]
+        grp_first = np.ones(total, dtype=bool)
+        grp_first[1:] = sorted_b[1:] != sorted_b[:-1]
+        grp_id = np.cumsum(grp_first) - 1
+        grp_start = np.nonzero(grp_first)[0]
+        occ_sorted = np.arange(total) - grp_start[grp_id]
+        occ = np.empty(total, dtype=np.int64)
+        occ[sorter] = occ_sorted
+        if direction > 0:
+            flat_idx = cand_idx[gb, last_indexes[gb] + occ]
+        else:
+            flat_idx = cand_idx[gb, last_indexes[gb] - 1 - occ]
+        ap_c, ap_k = flat_idx // 64, flat_idx % 64
+        if direction > 0:
+            # precious guard: don't zero strong k=1/k=8 coefficients
+            # (reference processor.cc:722-731)
+            prec = (((ap_k == 1) | (ap_k == 8))
+                    & (np.abs(orig[gb, ap_c, ap_k])
+                       >= precious_limit[gb, ap_c]))
+        else:
+            prec = np.zeros(total, dtype=bool)
+
+        cache = {}
+
         def apply_first(m):
-            st = state.copy()
             if m == 0:
-                return st, prev_size
-            blocks = global_blocks[:m]
-            cnt = np.bincount(blocks, minlength=state.shape[0])
-            touched = np.nonzero(cnt)[0]
-            for b in touched:
-                li = last_indexes[b]
-                k = cnt[b]
-                if direction > 0:
-                    for idx in cand_idx[b, li:li + k]:
-                        c, kk = idx // 64, idx % 64
-                        # precious guard: don't zero strong k=1/k=8 coeffs
-                        # (reference processor.cc:722-731)
-                        prec = (kk in (1, 8)) and (
-                            abs(orig[b, c, kk]) >= precious_limit[b, c])
-                        if not prec:
-                            st[b, c, kk] = 0
-                else:
-                    for idx in cand_idx[b, li - k:li][::-1]:
-                        c, kk = idx // 64, idx % 64
-                        st[b, c, kk] = orig_requant[b, c, kk]
-            est = jpg_header_size + dc_size + self._entropy_size(
-                ac_histos_from(st))
-            return st, est
+                return None, None, prev_size
+            if m in cache:
+                return cache[m]
+            b, c, k = gb[:m], ap_c[:m], ap_k[:m]
+            touched = np.unique(b)
+            inv = np.searchsorted(touched, b)
+            rows = state[touched].copy()
+            if direction > 0:
+                keep = ~prec[:m]
+                rows[inv[keep], c[keep], k[keep]] = 0
+            else:
+                rows[inv, c, k] = orig_requant[b, c, k]
+            est = jpg_header_size + dc_size + entropy_with_touched(
+                histos_base, perblock, touched, rows)
+            cache[m] = (touched, rows, est)
+            return cache[m]
+
+        def delta(m):
+            _, _, est = apply_first(m)
+            return abs(est - prev_size)
 
         def cond(m):
             if m == 0:
                 return False
-            _, est = apply_first(m)
-            return (m > min_coeffs
-                    and abs(est - prev_size) > min_size_delta)
+            return m > min_coeffs and delta(m) > min_size_delta
 
-        # binary search the smallest m satisfying cond; if none, m = total.
-        lo, hi = 1, total
+        # Find the smallest m satisfying cond (same invariant as a binary
+        # search — cond(lo) False, cond(hi) True — but with interpolation
+        # guesses on the near-linear size curve, alternating with bisection
+        # to bound the worst case).
         if not cond(total):
             m = total
         else:
-            while lo < hi:
-                mid = (lo + hi) // 2
-                if cond(mid):
-                    hi = mid
+            lo, hi = max(min_coeffs, 0), total
+            d_lo = delta(lo) if lo > 0 else 0.0
+            d_hi = delta(hi)
+            use_interp = True
+            while hi - lo > 1:
+                if use_interp and d_hi > d_lo:
+                    frac = (min_size_delta - d_lo) / (d_hi - d_lo)
+                    mid = lo + int(frac * (hi - lo))
+                    mid = min(max(mid, lo + 1), hi - 1)
                 else:
-                    lo = mid + 1
-            m = lo
-        st, est = apply_first(m)
-        return m, est, st
+                    mid = (lo + hi) // 2
+                use_interp = not use_interp
+                d_mid = delta(mid)
+                if mid > min_coeffs and d_mid > min_size_delta:
+                    hi, d_hi = mid, d_mid
+                else:
+                    lo, d_lo = mid, d_mid
+            m = hi
+        touched, rows, est = apply_first(m)
+        st = state.copy()
+        if touched is not None:
+            st[touched] = rows
+        return m, est, st, touched, rows
 
     # ------------------------------------------------------------------
     def process_jpeg_data(self, params: Params, jpg_in: JPEGData,
