@@ -88,6 +88,9 @@ def build_huffman_code_lengths(histogram: np.ndarray,
     Depth overflow is resolved by clamping counts to a doubling lower bound
     and retrying.
     """
+    from guetzli_tpu import native
+    if native.available():
+        return native.huffman_depths(histogram, limit)
     hist = np.asarray(histogram, dtype=np.int64)
     n_syms = len(hist)
     depths = np.zeros(n_syms, dtype=np.int32)

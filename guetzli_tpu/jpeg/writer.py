@@ -30,6 +30,13 @@ def _cluster_histograms(histos: List[np.ndarray]
 
     Returns (clustered histograms, per-input cluster index, per-cluster code
     depths, total cost bytes)."""
+    from guetzli_tpu import native
+    if native.available():
+        clustered, indexes, depths = native.cluster_full(histos)
+        total = sum(hstats.histogram_header_cost(h)
+                    + hstats.histogram_entropy_cost(h, d)
+                    for h, d in zip(clustered, depths))
+        return clustered, indexes, depths, (total + 7) // 8
     histos = [h.copy() for h in histos]
     n = len(histos)
     indexes = list(range(n))
@@ -202,12 +209,28 @@ def _encode_scan(jpg: JPEGData, streams, dc_codes, ac_codes,
 
 def serialize(jpg: JPEGData, strip_metadata: bool = True) -> bytes:
     """JPEGData -> complete JPEG byte stream."""
-    streams = hstats.component_streams(jpg)
+    from guetzli_tpu import native
+    use_native = native.available()
     ncomp = len(jpg.components)
 
-    dc_histos = hstats.build_dc_histograms(jpg, streams)
+    zz_list = []
+    for comp in jpg.components:
+        order = hstats.mcu_block_order(comp, jpg)
+        zz_list.append(np.ascontiguousarray(
+            comp.coeffs[order][:, NATURAL_ORDER], dtype=np.int32))
+
+    if use_native:
+        streams = None
+        dc_histos, ac_histos = [], []
+        for zz in zz_list:
+            dch, ach = native.component_histograms(zz)
+            dc_histos.append(dch)
+            ac_histos.append(ach)
+    else:
+        streams = [hstats.component_symbol_stream(zz) for zz in zz_list]
+        dc_histos = hstats.build_dc_histograms(jpg, streams)
+        ac_histos = hstats.build_ac_histograms(jpg, streams)
     _, dc_idx, dc_cl_depths, _ = _cluster_histograms(dc_histos)
-    ac_histos = hstats.build_ac_histograms(jpg, streams)
     _, ac_idx, ac_cl_depths, _ = _cluster_histograms(ac_histos)
 
     # DHT payloads + per-component code tables.
@@ -242,8 +265,14 @@ def serialize(jpg: JPEGData, strip_metadata: bool = True) -> bytes:
                       (dc_idx[c] << 4) | ac_idx[c]])
     sos += bytes([0, 63, 0])
 
-    scan = _encode_scan(jpg, streams, dc_codes, ac_codes,
-                        dc_depths, ac_depths)
+    if use_native:
+        scan = native.encode_scan(
+            zz_list,
+            [c.h_samp_factor * c.v_samp_factor for c in jpg.components],
+            dc_codes, dc_depths, ac_codes, ac_depths)
+    else:
+        scan = _encode_scan(jpg, streams, dc_codes, ac_codes,
+                            dc_depths, ac_depths)
 
     out = bytearray(b"\xff\xd8")
     out += _encode_metadata(jpg, strip_metadata)

@@ -176,6 +176,9 @@ class Processor:
     def _entropy_size(ac_histos: List[np.ndarray]) -> int:
         """ComputeEntropyCodes + EntropyCodedDataSize combined: DHT header
         bytes + entropy-coded bytes for the clustered AC codes."""
+        from guetzli_tpu import native
+        if native.available():
+            return int(native.entropy_size(ac_histos))
         clustered, indexes, depths, _ = writer._cluster_histograms(ac_histos)
         header = sum(hstats.histogram_header_cost(h) // 8 for h in clustered)
         bits = sum(hstats.histogram_entropy_cost(ac_histos[i],
@@ -250,28 +253,49 @@ class Processor:
         jpg_out = img.save_to_jpeg_data()
         jpg_header_size = hstats.jpeg_header_size(
             jpg_out, self.params.clear_metadata)
-        out_streams = hstats.component_streams(jpg_out)
+        from guetzli_tpu import native
+        use_native = native.available()
         dc_histos = []
-        for s in out_streams:
-            h = hstats.new_histogram()
-            np.add.at(h, s.dc_symbols, 2)
-            dc_histos.append(h)
+        out_zz = []
+        out_ac_hist = []
+        for comp in jpg_out.components:
+            order = hstats.mcu_block_order(comp, jpg_out)
+            zz = np.ascontiguousarray(
+                comp.coeffs[order][:, NATURAL_ORDER], dtype=np.int32)
+            out_zz.append(zz)
+            if use_native:
+                dch, ach = native.component_histograms(zz)
+            else:
+                st = hstats.component_symbol_stream(zz)
+                dch = hstats.new_histogram()
+                np.add.at(dch, st.dc_symbols, 2)
+                ach = hstats.new_histogram()
+                np.add.at(ach, st.ac_symbols, 2)
+            dc_histos.append(dch)
+            out_ac_hist.append(ach)
         dc_size = writer.cluster_histograms_cost(dc_histos)
         # Frozen AC histograms for components outside the mask, and the
         # constant padding-block EOB contribution for masked components
         # (padding blocks in the MCU grid always encode as one EOB).
         frozen_ac = {}
         pad_eob = {}
-        for ci, s in enumerate(out_streams):
-            h = hstats.new_histogram()
-            np.add.at(h, s.ac_symbols, 2)
+        for ci, ach in enumerate(out_ac_hist):
             if ci in mask_comps or ci >= len(jpg_out.components):
                 n_out_blocks = (jpg_out.components[ci].height_in_blocks
                                 * jpg_out.components[ci].width_in_blocks)
                 pad_eob[ci] = n_out_blocks - num_blocks
             else:
-                frozen_ac[ci] = h
+                frozen_ac[ci] = ach
         n_out_comps = len(jpg_out.components)
+
+        def block_hists(zz):
+            """(T, 64) zigzag coeffs -> (T, 256) AC histograms."""
+            if use_native:
+                return native.block_ac_histograms(zz)
+            st = hstats.component_symbol_stream(zz)
+            pb = np.zeros((zz.shape[0], 256), dtype=np.int64)
+            np.add.at(pb, (st.ac_block_id, st.ac_symbols), 2)
+            return pb
 
         def make_incremental(st):
             """Full per-comp AC histograms of st plus per-block histogram
@@ -285,10 +309,7 @@ class Processor:
                 if ci in frozen_ac:
                     histos.append(frozen_ac[ci].copy())
                     continue
-                zz = div[:, ci, :][:, NATURAL_ORDER]
-                s = hstats.component_symbol_stream(zz)
-                pb = np.zeros((num_blocks, 256), dtype=np.int64)
-                np.add.at(pb, (s.ac_block_id, s.ac_symbols), 2)
+                pb = block_hists(div[:, ci, :][:, NATURAL_ORDER])
                 h = hstats.new_histogram()
                 h[:256] += pb.sum(axis=0)
                 h[0] += 2 * pad_eob.get(ci, 0)
@@ -306,10 +327,9 @@ class Processor:
                     histos.append(frozen_ac[ci].copy())
                     continue
                 h = histos_base[ci].copy()
-                h[:256] -= perblock[ci][touched].sum(axis=0)
-                s = hstats.component_symbol_stream(
-                    div_new[:, ci, :][:, NATURAL_ORDER])
-                np.add.at(h, s.ac_symbols, 2)
+                pb_new = block_hists(div_new[:, ci, :][:, NATURAL_ORDER])
+                h[:256] += (pb_new.sum(axis=0)
+                            - perblock[ci][touched].sum(axis=0))
                 histos.append(h)
             return self._entropy_size(histos)
 
@@ -321,10 +341,7 @@ class Processor:
             for ci in range(n_out_comps):
                 if ci in frozen_ac:
                     continue
-                s = hstats.component_symbol_stream(
-                    div_new[:, ci, :][:, NATURAL_ORDER])
-                pb_new = np.zeros((len(touched), 256), dtype=np.int64)
-                np.add.at(pb_new, (s.ac_block_id, s.ac_symbols), 2)
+                pb_new = block_hists(div_new[:, ci, :][:, NATURAL_ORDER])
                 histos_base[ci][:256] += (pb_new.sum(axis=0)
                                           - perblock[ci][touched].sum(axis=0))
                 perblock[ci][touched] = pb_new
