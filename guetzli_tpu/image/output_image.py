@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from guetzli_tpu.jpeg.data import JPEGData, Component, QuantTable
 from guetzli_tpu.jpeg import data as jdata
 from guetzli_tpu.ops import color, dct, quantize
-from guetzli_tpu.ops.gamma import srgb8_to_linear
+from guetzli_tpu.ops.gamma import srgb8_to_linear_fast as srgb8_to_linear
 
 
 def blocks_to_plane(blocks: jax.Array) -> jax.Array:

@@ -24,7 +24,7 @@ from guetzli_tpu.metric.diffmap import diffmap_psycho_image
 from guetzli_tpu.metric.frequencies import separate_frequencies
 from guetzli_tpu.metric.mask import mask as mask_fn
 from guetzli_tpu.metric.opsin import opsin_dynamics_image
-from guetzli_tpu.ops.gamma import srgb8_to_linear
+from guetzli_tpu.ops.gamma import srgb8_to_linear_fast as srgb8_to_linear
 from guetzli_tpu.search.score import score_jpeg
 
 
@@ -103,10 +103,8 @@ def _block_weights(distmap, target_distance, factor_x, factor_y,
     return w
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "factors",
-                                              "wfactor"))
-def _compare_coeffs_fused(coeffs, pi0, target_distance, width, height,
-                          factors, wfactor):
+def _compare_coeffs_impl(coeffs, pi0, target_distance, width, height,
+                         factors, wfactor):
     """One device call per optimizer iteration: host coefficient mirror ->
     pixel planes -> sRGB -> linear -> opsin -> diffmap -> distance, plus the
     block-error adjustment weight grids for both directions x rblock 1..4
@@ -144,6 +142,27 @@ def _compare_coeffs_fused(coeffs, pi0, target_distance, width, height,
     return dmap, packed
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height", "factors",
+                                              "wfactor"))
+def _compare_coeffs_fused(coeffs, pi0, target_distance, width, height,
+                          factors, wfactor):
+    return _compare_coeffs_impl(coeffs, pi0, target_distance, width,
+                                height, factors, wfactor)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "factors",
+                                              "wfactor"))
+def _compare_coeffs_fused_batch(coeffs, pi0s, target_distances, width,
+                                height, factors, wfactor):
+    """vmapped fused compare: one device execution + one packed pull for a
+    whole batch of images (batch mode's per-iteration workhorse)."""
+    def one(c, p, t):
+        return _compare_coeffs_impl(c, p, t, width, height, factors,
+                                    wfactor)
+
+    return jax.vmap(one)(coeffs, pi0s, target_distances)
+
+
 class ButteraugliComparatorTPU(Comparator):
     """Device-resident butteraugli comparator.
 
@@ -151,11 +170,12 @@ class ButteraugliComparatorTPU(Comparator):
     """
 
     def __init__(self, rgb: np.ndarray, target_distance: float,
-                 stats=None):
+                 stats=None, batcher=None):
         self.height, self.width = rgb.shape[:2]
         self.target_distance = float(target_distance)
         self.rgb_orig = np.asarray(rgb, dtype=np.uint8)
         self.stats = stats
+        self.batcher = batcher  # cross-image device-call batching
         lin = srgb8_to_linear(jnp.asarray(rgb.transpose(2, 0, 1)))
         self._xyb0 = _opsin_from_linear(lin)
         self._pi0 = separate_frequencies(self._xyb0)
@@ -180,6 +200,19 @@ class ButteraugliComparatorTPU(Comparator):
 
         Sets self.distance/self._distmap and returns the block-error weight
         grids as (2, 4, nby_w, nbx_w): [direction(+1,-1), rblock-1]."""
+        if self.batcher is not None:
+            dist, dmap, w = self.batcher.submit("fused", {
+                "coeffs": [np.ascontiguousarray(c) for c in coeff_list],
+                "pi0": self._pi0,
+                "target": self.target_distance * target_mul,
+                "width": self.width, "height": self.height,
+                "factors": tuple(factors), "wfactor": int(wfactor),
+            })
+            self._distmap = dmap
+            self.distance = dist
+            if self.stats is not None and self.stats.debug:
+                print(f" BA D[{self.distance:.4f}]")
+            return w
         if all(c.shape == coeff_list[0].shape for c in coeff_list[1:]):
             coeffs = jnp.asarray(np.stack(coeff_list))  # single transfer
         else:

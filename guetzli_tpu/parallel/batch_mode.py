@@ -1,0 +1,186 @@
+"""Batch encoding: B images, one chip, batched device calls.
+
+Each image's search runs unchanged in its own host thread; the shared
+DeviceBatcher coalesces their per-iteration device work into single
+batched executions (see batcher.py). Same-shaped fused-compare requests
+are stacked and vmapped; zeroing requests are concatenated along the
+block axis (per-block computations are image-independent, so blocks of
+different images can share one kernel launch — even across different
+image sizes or quality targets).
+
+This is the framework's image/batch data-parallel layer (SURVEY.md §2
+parallelism inventory): the reference achieves batch throughput with
+`xargs -P nproc` over processes; here the batch shares one accelerator.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from guetzli_tpu.parallel.batcher import DeviceBatcher
+
+
+def _fused_handler(payloads: List[dict], cache: dict
+                   ) -> List[Tuple[float, object, np.ndarray]]:
+    """Batched fused compare. payload keys: coeffs (list of np arrays),
+    pi0 (device PsychoImage), target, width, height, factors, wfactor.
+    Returns per-payload (distance, distmap_device, weight_grids)."""
+    from guetzli_tpu.metric.comparator import (_compare_coeffs_fused,
+                                               _compare_coeffs_fused_batch)
+
+    # Group by everything static + coefficient shapes.
+    groups: Dict[tuple, List[int]] = {}
+    for i, p in enumerate(payloads):
+        key = (p["width"], p["height"], p["factors"], p["wfactor"],
+               tuple(c.shape for c in p["coeffs"]))
+        groups.setdefault(key, []).append(i)
+
+    results: List[Optional[tuple]] = [None] * len(payloads)
+    for key, idxs in groups.items():
+        width, height, factors, wfactor, _ = key
+        if len(idxs) == 1:
+            p = payloads[idxs[0]]
+            same = all(c.shape == p["coeffs"][0].shape
+                       for c in p["coeffs"][1:])
+            coeffs = (jnp.asarray(np.stack(p["coeffs"])) if same else
+                      tuple(jnp.asarray(c) for c in p["coeffs"]))
+            dmap, packed = _compare_coeffs_fused(
+                coeffs, p["pi0"], jnp.float32(p["target"]), width, height,
+                factors, wfactor)
+            host = np.asarray(packed)
+            bw = -(-width // (8 * wfactor))
+            bh = -(-height // (8 * wfactor))
+            results[idxs[0]] = (float(host[0]), dmap,
+                                host[1:].reshape(2, 4, bh, bw))
+            continue
+        ps = [payloads[i] for i in idxs]
+        # Pad the group to a power-of-two bucket so only log2(B) batched
+        # executables ever compile (group sizes drift as images desync).
+        bucket = 1
+        while bucket < len(ps):
+            bucket *= 2
+        ps_padded = ps + [ps[-1]] * (bucket - len(ps))
+        # The per-image psycho-images never change: cache the stacked tree
+        # per group composition (stacking ~12 full-image arrays every
+        # iteration costs real dispatch time).
+        pi_key = ("pi0",) + tuple(id(p["pi0"]) for p in ps_padded)
+        same = all(c.shape == ps[0]["coeffs"][0].shape
+                   for c in ps[0]["coeffs"][1:])
+        if same:
+            coeffs = jnp.asarray(np.stack(
+                [np.stack(p["coeffs"]) for p in ps_padded]))
+        else:
+            coeffs = tuple(
+                jnp.asarray(np.stack([p["coeffs"][c] for p in ps_padded]))
+                for c in range(3))
+        pi0s = cache.get(pi_key)
+        if pi0s is None:
+            if len(cache) > 64:
+                cache.clear()
+            pi0s = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                *[p["pi0"] for p in ps_padded])
+            cache[pi_key] = pi0s
+        tds = jnp.asarray([p["target"] for p in ps_padded], jnp.float32)
+        dmaps, packed = _compare_coeffs_fused_batch(
+            coeffs, pi0s, tds, width, height, factors, wfactor)
+        host = np.asarray(packed)                      # one pull
+        bw = -(-width // (8 * wfactor))
+        bh = -(-height // (8 * wfactor))
+        for j, i in enumerate(idxs):
+            results[i] = (float(host[j, 0]), dmaps[j],
+                          host[j, 1:].reshape(2, 4, bh, bw))
+    return results
+
+
+def _zeroing_handler(payloads: List[dict], cache: dict) -> List[tuple]:
+    """Concatenated zeroing kernel. payload keys: comp_mask, args (tuple of
+    (N, ...) arrays), limit (float), steps, lookahead, n."""
+    from guetzli_tpu.search import zeroing
+
+    kernels = {7: zeroing.compute_zeroing_order_batch,
+               1: zeroing.compute_zeroing_order_420_luma,
+               6: zeroing.compute_zeroing_order_420_chroma}
+    groups: Dict[tuple, List[int]] = {}
+    for i, p in enumerate(payloads):
+        groups.setdefault((p["comp_mask"], p["steps"], p["lookahead"]),
+                          []).append(i)
+
+    results: List[Optional[tuple]] = [None] * len(payloads)
+    for (comp_mask, steps, lookahead), idxs in groups.items():
+        kernel = kernels[comp_mask]
+        ps = [payloads[i] for i in idxs]
+        nargs = len(ps[0]["args"])
+        if len(ps) == 1:
+            cat = ps[0]["args"]
+            limit_np = np.full(ps[0]["n"], ps[0]["limit"], np.float32)
+        else:
+            cat = tuple(jnp.concatenate(
+                [jnp.asarray(p["args"][a]) for p in ps], axis=0)
+                for a in range(nargs))
+            limit_np = np.concatenate(
+                [np.full(p["n"], p["limit"], np.float32) for p in ps])
+        # run_chunked pads to the fixed chunk size: one compiled variant
+        # per `steps` value, shared with single-image mode.
+        host = zeroing.run_chunked(kernel, cat, limit_np, steps, lookahead)
+        off = 0
+        for j, i in enumerate(idxs):
+            n = ps[j]["n"]
+            results[i] = tuple(h[off:off + n] for h in host)
+            off += n
+    return results
+
+
+def make_batcher(timeout: float = 0.02) -> DeviceBatcher:
+    return DeviceBatcher({"fused": _fused_handler,
+                          "zeroing": _zeroing_handler}, timeout=timeout)
+
+
+def process_batch(inputs: Sequence, quality: float = 95.0,
+                  params=None, stats_list=None,
+                  timeout: float = 0.02) -> List[Optional[bytes]]:
+    """Encodes a batch of images concurrently on one chip.
+
+    inputs: list of (H, W, 3) uint8 arrays or JPEG byte strings. Returns
+    one optimized JPEG (or None on per-image failure — failures are
+    isolated, matching the reference test harness's per-file behavior)."""
+    from guetzli_tpu.config import Params, ProcessStats
+    from guetzli_tpu.search.processor import (process_jpeg_bytes,
+                                              process_rgb)
+    from guetzli_tpu.search.quality import butteraugli_score_for_quality
+
+    n = len(inputs)
+    results: List[Optional[bytes]] = [None] * n
+    errors: List[Optional[BaseException]] = [None] * n
+    batcher = make_batcher(timeout=timeout)
+
+    def run(i):
+        batcher.register()
+        try:
+            p = Params(**(params.__dict__ if params is not None else {}))
+            p.butteraugli_target = butteraugli_score_for_quality(quality)
+            stats = (stats_list[i] if stats_list is not None
+                     else ProcessStats())
+            data = inputs[i]
+            if isinstance(data, (bytes, bytearray)):
+                results[i] = process_jpeg_bytes(p, stats, bytes(data),
+                                                batcher=batcher)
+            else:
+                results[i] = process_rgb(p, stats, np.asarray(data),
+                                         batcher=batcher)
+        except Exception as e:     # per-image failure isolation
+            errors[i] = e
+        finally:
+            batcher.unregister()
+
+    threads = [threading.Thread(target=run, args=(i,), daemon=True)
+               for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return results

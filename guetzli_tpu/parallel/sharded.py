@@ -20,7 +20,7 @@ from guetzli_tpu.image import output_image as oi
 from guetzli_tpu.metric.diffmap import diffmap_psycho_image
 from guetzli_tpu.metric.frequencies import separate_frequencies
 from guetzli_tpu.metric.opsin import opsin_dynamics_image
-from guetzli_tpu.ops.gamma import srgb8_to_linear
+from guetzli_tpu.ops.gamma import srgb8_to_linear_fast as srgb8_to_linear
 from guetzli_tpu.ops.quantize import quantize_nearest
 
 

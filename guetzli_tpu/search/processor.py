@@ -86,11 +86,12 @@ def has_ycbcr_color_space(jpg: JPEGData) -> bool:
 
 
 class Processor:
-    def __init__(self):
+    def __init__(self, batcher=None):
         self.params: Params = Params()
         self.comparator: Optional[Comparator] = None
         self.final_output: Optional[GuetzliOutput] = None
         self.stats: Optional[ProcessStats] = None
+        self.batcher = batcher  # cross-image device-call batching
 
     # ------------------------------------------------------------------
     def output_jpeg(self, jpg: JPEGData) -> bytes:
@@ -222,7 +223,10 @@ class Processor:
         n_cand = int(np.max(np.sum(
             (cur.reshape(num_blocks, 192) != 0)
             & (np.arange(192) % 64 != 0)[None, :], axis=1), initial=1))
-        steps = max(8, -(-n_cand // 16) * 16)
+        # Rounded up to a 64-multiple so concurrent images in batch mode
+        # land in the same compiled zeroing variant (padding is inert: the
+        # extra greedy steps are inactive and their errors stay +inf).
+        steps = max(64, -(-n_cand // 64) * 64)
 
         if comp_mask == 7:
             mask3 = self.comparator.corner_masks(1, 1).reshape(
@@ -231,18 +235,25 @@ class Processor:
                 num_blocks, 3, 8, 8)
             vw = np.minimum(width - 8 * (np.arange(num_blocks) % nbx), 8)
             vh = np.minimum(height - 8 * (np.arange(num_blocks) // nbx), 8)
-            idx_seq, err_seq, counts = zeroing.compute_zeroing_order_batch(
-                jnp.asarray(cur), jnp.asarray(orig), xyb0, mask3,
-                jnp.asarray(vw, jnp.int32), jnp.asarray(vh, jnp.int32),
-                limit, steps, lookahead)
+            zargs = (jnp.asarray(cur), jnp.asarray(orig), xyb0, mask3,
+                     jnp.asarray(vw, jnp.int32), jnp.asarray(vh, jnp.int32))
         elif comp_mask == 1:
-            idx_seq, err_seq, counts = self._zeroing_420_luma(
-                img, cur, orig, nbx, nby, limit, steps, lookahead)
+            zargs = self._zeroing_420_luma(img, cur, orig, nbx, nby)
         elif comp_mask == 6:
-            idx_seq, err_seq, counts = self._zeroing_420_chroma(
-                img, cur, orig, nbx, nby, limit, steps, lookahead)
+            zargs = self._zeroing_420_chroma(img, cur, orig, nbx, nby)
         else:
             raise ValueError(f"unsupported comp_mask {comp_mask}")
+        if getattr(self, "batcher", None) is not None:
+            idx_seq, err_seq, counts = self.batcher.submit("zeroing", {
+                "comp_mask": comp_mask, "args": zargs,
+                "limit": float(limit), "steps": steps,
+                "lookahead": lookahead, "n": num_blocks})
+        else:
+            kernel = {7: zeroing.compute_zeroing_order_batch,
+                      1: zeroing.compute_zeroing_order_420_luma,
+                      6: zeroing.compute_zeroing_order_420_chroma}[comp_mask]
+            idx_seq, err_seq, counts = zeroing.run_chunked(
+                kernel, zargs, limit, steps, lookahead)
         self.comparator.finish_block_comparisons()
         cand_idx = np.asarray(idx_seq)                      # (N, steps)
         cand_err = np.asarray(err_seq)
@@ -458,9 +469,9 @@ class Processor:
                 prev_size = est_size
 
     # --- 420 zeroing-pass data assembly -------------------------------
-    def _zeroing_420_luma(self, img, cur, orig, nbx, nby, limit, steps,
-                          lookahead):
-        """comp_mask=1: Y candidates at factor 1; chroma pixels frozen."""
+    def _zeroing_420_luma(self, img, cur, orig, nbx, nby):
+        """comp_mask=1: Y candidates at factor 1; chroma pixels frozen.
+        Returns the kernel's positional (N, ...) arrays."""
         from guetzli_tpu.image.output_image import dither_to_u8
         width, height = img.width, img.height
         num_blocks = nbx * nby
@@ -478,15 +489,14 @@ class Processor:
             num_blocks, 3, 8, 8)
         vw = np.minimum(width - 8 * (np.arange(num_blocks) % nbx), 8)
         vh = np.minimum(height - 8 * (np.arange(num_blocks) // nbx), 8)
-        return zeroing.compute_zeroing_order_420_luma(
-            jnp.asarray(cur[:, 0, :]), jnp.asarray(orig[:, 0, :]), cb, cr,
-            xyb0, mask3, jnp.asarray(vw, jnp.int32),
-            jnp.asarray(vh, jnp.int32), limit, steps, lookahead)
+        return (jnp.asarray(cur[:, 0, :]), jnp.asarray(orig[:, 0, :]),
+                cb, cr, xyb0, mask3, jnp.asarray(vw, jnp.int32),
+                jnp.asarray(vh, jnp.int32))
 
-    def _zeroing_420_chroma(self, img, cur, orig, nbx, nby, limit, steps,
-                            lookahead):
+    def _zeroing_420_chroma(self, img, cur, orig, nbx, nby):
         """comp_mask=6: U+V candidates at factor 2; Y and the subsampled
-        neighbor ring frozen at the pass's initial state."""
+        neighbor ring frozen at the pass's initial state. Returns the
+        kernel's positional (N, ...) arrays."""
         from guetzli_tpu.image.output_image import (dither_to_u8,
                                                     idct_pixels16)
         width, height = img.width, img.height
@@ -544,11 +554,9 @@ class Processor:
         xpar16 = np.tile((np.arange(16) & 1).astype(np.int32),
                          (num_blocks, 1))
 
-        return zeroing.compute_zeroing_order_420_chroma(
-            jnp.asarray(cur[:, 1:, :]), jnp.asarray(orig[:, 1:, :]),
-            rings_u, rings_v, y_tiles, xyb0_4, mask3_4,
-            jnp.asarray(subvalid), jnp.asarray(xpar16), limit, steps,
-            lookahead)
+        return (jnp.asarray(cur[:, 1:, :]), jnp.asarray(orig[:, 1:, :]),
+                rings_u, rings_v, y_tiles, xyb0_4, mask3_4,
+                jnp.asarray(subvalid), jnp.asarray(xpar16))
 
     @staticmethod
     def _build_global_order(direction, block_weight, cand_err, cand_count,
@@ -743,7 +751,7 @@ class Processor:
 
 
 def process_jpeg_bytes(params: Params, stats: ProcessStats,
-                       data: bytes) -> bytes:
+                       data: bytes, batcher=None) -> bytes:
     """JPEG-input entry (reference Process, processor.cc:890-912)."""
     jpg = reader.parse(data)
     if not check_jpeg_sanity(jpg):
@@ -754,27 +762,28 @@ def process_jpeg_bytes(params: Params, stats: ProcessStats,
     remove_original_quantization(jc)
     img.copy_from_jpeg_data(jc)
     rgb = np.asarray(img.to_srgb()).transpose(1, 2, 0).astype(np.uint8)
-    return _run(params, stats, jpg, rgb)
+    return _run(params, stats, jpg, rgb, batcher=batcher)
 
 
 def process_rgb(params: Params, stats: ProcessStats,
-                rgb: np.ndarray) -> bytes:
+                rgb: np.ndarray, batcher=None) -> bytes:
     """PNG/RGB-input entry (reference Process, processor.cc:926-958)."""
     from guetzli_tpu.jpeg.encoder import encode_rgb_to_jpeg_data
     h, w = rgb.shape[:2]
     jpg = encode_rgb_to_jpeg_data(rgb)
-    return _run(params, stats, jpg, rgb)
+    return _run(params, stats, jpg, rgb, batcher=batcher)
 
 
 def _run(params: Params, stats: ProcessStats, jpg: JPEGData,
-         rgb: np.ndarray) -> bytes:
+         rgb: np.ndarray, batcher=None) -> bytes:
     h, w = jpg.height, jpg.width
     comparator = None
     if w >= 32 and h >= 32:
         comparator = ButteraugliComparatorTPU(
-            rgb, params.butteraugli_target, stats)
+            rgb, params.butteraugli_target, stats, batcher=batcher)
     out = GuetzliOutput()
-    Processor().process_jpeg_data(params, jpg, comparator, out, stats)
+    Processor(batcher=batcher).process_jpeg_data(params, jpg, comparator,
+                                                 out, stats)
     return out.jpeg_data
 
 

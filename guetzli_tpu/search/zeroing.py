@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from guetzli_tpu.image import output_image as oi
 from guetzli_tpu.metric import block_diff
 from guetzli_tpu.ops import color, dct
-from guetzli_tpu.ops.gamma import srgb8_to_linear
+from guetzli_tpu.ops.gamma import srgb8_to_linear_fast as srgb8_to_linear
 from guetzli_tpu.search.order_tables import BIAS, CSF
 
 LOOKAHEAD = 3
@@ -111,13 +111,58 @@ def _greedy_single(cur_flat: jax.Array, order: jax.Array,
 
 def _postprocess(err_seq, n_valid, steps, block_error_limit):
     """Monotonicize (reverse running min) + error-limit cutoff
-    (reference processor.cc:447-459)."""
+    (reference processor.cc:447-459). block_error_limit: scalar, or (N,)
+    per-block (batch mode concatenates blocks of images with different
+    quality targets)."""
     rev_min = jax.lax.cummin(err_seq[:, ::-1], axis=1)[:, ::-1]
     t = jnp.arange(steps)
     in_range = t[None, :] < n_valid[:, None]
     err_mono = jnp.where(in_range, rev_min, INF)
-    counts = jnp.sum(err_mono <= block_error_limit, axis=1)
+    lim = jnp.asarray(block_error_limit)
+    if lim.ndim == 1:
+        lim = lim[:, None]
+    counts = jnp.sum(err_mono <= lim, axis=1)
     return err_mono, counts
+
+
+ZEROING_CHUNK = 2048
+
+
+def run_chunked(kernel, args, limit, steps: int, lookahead: int,
+                chunk: int = ZEROING_CHUNK):
+    """Runs a zeroing kernel over fixed-size block chunks.
+
+    Every call site (any image size, any batch-mode concatenation) lands in
+    one of a handful of compiled executables per `steps` value: the block
+    axis is padded to the next power of two (capped at `chunk`) and split
+    into `chunk`-sized pieces. Padding rows are all-zero (no candidates,
+    n_valid = 0) so results are unaffected. limit: scalar or (N,)."""
+    n = args[0].shape[0]
+    if n < chunk:
+        c = 256
+        while c < n:
+            c *= 2
+        chunk = min(c, chunk)
+    limit_vec = jnp.broadcast_to(jnp.asarray(limit, jnp.float32), (n,))
+    outs = []
+    for lo in range(0, max(n, 1), chunk):
+        hi = min(lo + chunk, n)
+        pad = chunk - (hi - lo)
+
+        def prep(a):
+            part = jnp.asarray(a)[lo:hi]
+            if pad:
+                part = jnp.concatenate(
+                    [part, jnp.zeros((pad,) + part.shape[1:], part.dtype)])
+            return part
+
+        chunk_args = tuple(prep(a) for a in args)
+        lim = prep(limit_vec)
+        outs.append(kernel(*chunk_args, lim, steps, lookahead))
+    idx = np.concatenate([np.asarray(o[0]) for o in outs])[:n]
+    err = np.concatenate([np.asarray(o[1]) for o in outs])[:n]
+    cnt = np.concatenate([np.asarray(o[2]) for o in outs])[:n]
+    return idx, err, cnt
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,122 @@
+"""End-to-end encodes vs the reference oracle.
+
+The optimizer's acceptance contract (SURVEY.md §4 'Implications'): the
+output must be a valid sequential JPEG whose oracle-measured butteraugli
+distance is at/below the quality target, at a size at-or-near the
+reference encoder's on the same input. Byte-identity is NOT expected
+(f32 device metric vs the reference's doubles), size parity is.
+"""
+
+import io
+import subprocess
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.conftest import ORACLE
+
+
+def _oracle_encode_jpg(oracle, jpg_path, quality, out_path):
+    r = subprocess.run([oracle, "encode_jpg", jpg_path, str(quality),
+                        out_path], capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-400:]
+    return int(r.stdout.split("size=")[1])
+
+
+def _oracle_encode_rgb(oracle, rgb, quality, out_path, tmp_path):
+    raw = tmp_path / "in.rgb"
+    rgb.astype(np.uint8).tofile(raw)
+    h, w = rgb.shape[:2]
+    r = subprocess.run([oracle, "encode_rgb", str(w), str(h), str(raw),
+                        str(quality), out_path], capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-400:]
+    return int(r.stdout.split("size=")[1])
+
+
+def _oracle_distance(oracle, rgb0, rgb1, tmp_path):
+    h, w = rgb0.shape[:2]
+    p0, p1 = tmp_path / "a.rgb", tmp_path / "b.rgb"
+    rgb0.astype(np.uint8).tofile(p0)
+    rgb1.astype(np.uint8).tofile(p1)
+    r = subprocess.run([oracle, "ba", str(w), str(h), str(p0), str(p1)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-400:]
+    return float(r.stdout.split("distance=")[1])
+
+
+def _decode(data: bytes) -> np.ndarray:
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
+
+Q95_TARGET = 0.9718234   # quality.cc interpolation at q95
+
+
+def test_png_input_444_vs_oracle(oracle, bees_rgb, tmp_path):
+    import guetzli_tpu
+    from guetzli_tpu.config import ProcessStats
+
+    crop = np.ascontiguousarray(bees_rgb[:128, :128])
+    ours = guetzli_tpu.process(crop, quality=95, stats=ProcessStats())
+    ref_path = str(tmp_path / "ref.jpg")
+    ref_size = _oracle_encode_rgb(oracle, crop, 95, ref_path, tmp_path)
+
+    dec = _decode(ours)
+    assert dec.shape == crop.shape
+    d = _oracle_distance(oracle, crop, dec, tmp_path)
+    assert d <= Q95_TARGET * 1.0005, d
+    # size parity: within 2% of the reference encoder
+    assert len(ours) <= ref_size * 1.02, (len(ours), ref_size)
+
+
+def test_jpeg_420_input_vs_oracle(oracle, bees_rgb, tmp_path):
+    import guetzli_tpu
+    from guetzli_tpu.config import ProcessStats
+
+    crop = Image.fromarray(bees_rgb[:128, 100:228])
+    buf = io.BytesIO()
+    crop.save(buf, "JPEG", quality=100, subsampling=2)   # 4:2:0 input
+    jpg420 = buf.getvalue()
+    in_path = tmp_path / "in420.jpg"
+    in_path.write_bytes(jpg420)
+
+    ours = guetzli_tpu.process(jpg420, quality=95, stats=ProcessStats())
+    ref_path = str(tmp_path / "ref420.jpg")
+    ref_size = _oracle_encode_jpg(oracle, str(in_path), 95, ref_path)
+
+    # output must still be 4:2:0 (the reference preserves the input's
+    # subsampling for 420 inputs)
+    from guetzli_tpu.jpeg import reader
+    out_jpg = reader.parse(ours)
+    assert out_jpg.is_420()
+
+    inp_dec = _decode(jpg420)
+    d = _oracle_distance(oracle, inp_dec, _decode(ours), tmp_path)
+    assert d <= Q95_TARGET * 1.0005, d
+    assert len(ours) <= ref_size * 1.02, (len(ours), ref_size)
+
+
+def test_batch_mode_matches_single(bees_rgb):
+    import guetzli_tpu
+    from guetzli_tpu.config import ProcessStats
+    from guetzli_tpu.parallel.batch_mode import process_batch
+
+    a = np.ascontiguousarray(bees_rgb[:64, :64])
+    b = np.ascontiguousarray(bees_rgb[32:96, 64:128])
+    outs = process_batch([a, b], quality=95)
+    sa = guetzli_tpu.process(a, quality=95, stats=ProcessStats())
+    sb = guetzli_tpu.process(b, quality=95, stats=ProcessStats())
+    assert outs[0] == sa
+    assert outs[1] == sb
+
+
+def test_batch_mode_isolates_failures(bees_rgb):
+    from guetzli_tpu.parallel.batch_mode import process_batch
+
+    good = np.ascontiguousarray(bees_rgb[:64, :64])
+    bad = b"not a jpeg at all"
+    outs = process_batch([good, bad], quality=95)
+    assert outs[0] is not None and len(outs[0]) > 0
+    assert outs[1] is None
