@@ -163,6 +163,68 @@ def _compare_coeffs_fused_batch(coeffs, pi0s, target_distances, width,
     return jax.vmap(one)(coeffs, pi0s, target_distances)
 
 
+def _unflatten_coeffs(state_flat, shapes):
+    """(total,) flat device state -> tuple of (nby, nbx, 64) arrays."""
+    out = []
+    off = 0
+    for sh in shapes:
+        size = sh[0] * sh[1] * sh[2]
+        out.append(jax.lax.dynamic_slice(state_flat, (off,),
+                                         (size,)).reshape(sh))
+        off += size
+    return tuple(out)
+
+
+def _delta_impl(state_flat, upd_idx, upd_val, pi0, target_distance,
+                width, height, shapes, factors, wfactor):
+    st = state_flat.at[upd_idx].set(upd_val)
+    dmap, packed = _compare_coeffs_impl(
+        _unflatten_coeffs(st, shapes), pi0, target_distance, width,
+        height, factors, wfactor)
+    return st, dmap, packed
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "shapes",
+                                             "factors", "wfactor"),
+                   donate_argnums=(0,))
+def _compare_delta_fused(state_flat, upd_idx, upd_val, pi0,
+                         target_distance, width, height, shapes, factors,
+                         wfactor):
+    """Delta-update fused compare: the coefficient state lives ON DEVICE
+    (uploading ~1.4 MB/image/iteration over the tunnel was the batch-mode
+    wall); each iteration ships only the changed (index, value) pairs
+    (padded to a bucket with idempotent repeats of the last real pair)."""
+    return _delta_impl(state_flat, upd_idx, upd_val, pi0, target_distance,
+                       width, height, shapes, factors, wfactor)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "shapes",
+                                             "factors", "wfactor"),
+                   donate_argnums=(0,))
+def _compare_delta_fused_batch(state_flats, upd_idx, upd_val, pi0s,
+                               target_distances, width, height, shapes,
+                               factors, wfactor):
+    def one(s, i, v, p, t):
+        return _delta_impl(s, i, v, p, t, width, height, shapes, factors,
+                           wfactor)
+
+    return jax.vmap(one)(state_flats, upd_idx, upd_val, pi0s,
+                         target_distances)
+
+
+def _delta_bucket(k: int) -> int:
+    # Coarse buckets: every (batch-size, bucket) pair is its own multi-
+    # minute XLA compile on this backend, so favor few variants over tight
+    # padding (1024 pairs is still only 8 KB of upload).
+    b = 1024
+    while b < k:
+        b *= 4
+    return b
+
+
+DELTA_MAX = 16384   # above this, re-uploading the full state is cheaper
+
+
 class ButteraugliComparatorTPU(Comparator):
     """Device-resident butteraugli comparator.
 
@@ -222,6 +284,69 @@ class ButteraugliComparatorTPU(Comparator):
             coeffs, self._pi0,
             jnp.float32(self.target_distance * target_mul),
             self.width, self.height, tuple(factors), wfactor)
+        self._distmap = dmap
+        host = np.asarray(packed)
+        self.distance = float(host[0])
+        if self.stats is not None and self.stats.debug:
+            print(f" BA D[{self.distance:.4f}]")
+        bw = -(-self.width // (8 * wfactor))
+        bh = -(-self.height // (8 * wfactor))
+        return host[1:].reshape(2, 4, bh, bw)
+
+    # --- device-resident coefficient state + delta compare ---
+
+    def reset_coeff_state(self, coeff_list, factors) -> None:
+        """Uploads the full coefficient state once; compare_delta then
+        mutates the device copy with scatters (tunnel traffic per
+        iteration drops from megabytes to the changed pairs)."""
+        self._state_shapes = tuple(tuple(c.shape) for c in coeff_list)
+        self._state_factors = tuple(int(f) for f in factors)
+        flat = np.concatenate([np.ascontiguousarray(c, dtype=np.int32)
+                               .ravel() for c in coeff_list])
+        self._state_offsets = np.concatenate(
+            [[0], np.cumsum([c.size for c in coeff_list])])
+        self._state_flat = jnp.asarray(flat)
+
+    def flat_index(self, comp: int, block: int, k: int):
+        """Flat index of (component, block-in-grid, coeff) in the device
+        state (vectorized over numpy inputs)."""
+        return (self._state_offsets[comp] + block * 64 + k).astype(np.int64)
+
+    def compare_delta(self, upd_idx: np.ndarray, upd_val: np.ndarray,
+                      wfactor: int, target_mul: float) -> np.ndarray:
+        """Fused compare against the device state after applying the given
+        flat-index updates. Same contract as compare_coeffs."""
+        k = len(upd_idx)
+        if k == 0:
+            raise ValueError("compare_delta requires at least one update")
+        bucket = _delta_bucket(k)
+        idx = np.concatenate([upd_idx,
+                              np.full(bucket - k, upd_idx[-1],
+                                      upd_idx.dtype)]).astype(np.int32)
+        val = np.concatenate([upd_val,
+                              np.full(bucket - k, upd_val[-1],
+                                      upd_val.dtype)]).astype(np.int32)
+        if self.batcher is not None:
+            dist, dmap, w, new_state = self.batcher.submit("delta", {
+                "state": self._state_flat, "idx": idx, "val": val,
+                "pi0": self._pi0,
+                "target": self.target_distance * target_mul,
+                "width": self.width, "height": self.height,
+                "shapes": self._state_shapes,
+                "factors": self._state_factors, "wfactor": int(wfactor),
+            })
+            self._state_flat = new_state
+            self._distmap = dmap
+            self.distance = dist
+            if self.stats is not None and self.stats.debug:
+                print(f" BA D[{self.distance:.4f}]")
+            return w
+        st, dmap, packed = _compare_delta_fused(
+            self._state_flat, jnp.asarray(idx), jnp.asarray(val),
+            self._pi0, jnp.float32(self.target_distance * target_mul),
+            self.width, self.height, self._state_shapes,
+            self._state_factors, int(wfactor))
+        self._state_flat = st
         self._distmap = dmap
         host = np.asarray(packed)
         self.distance = float(host[0])

@@ -70,23 +70,39 @@ def diffmap_psycho_image(pi0: PsychoImage, pi1: PsychoImage) -> jax.Array:
     ac2 = jnp.zeros_like(ac0)
     dc = [jnp.zeros_like(ac0) for _ in range(3)]
 
-    # Malta stages (weights/norms from butteraugli.cc:831-871).
-    ac1 = ac1 + malta.malta_diff_map(
-        pi0.uhf[1], pi1.uhf[1], 5.1409625726 * ha, 5.1409625726 / ha,
-        58.5001247061)
-    ac0 = ac0 + malta.malta_diff_map(
-        pi0.uhf[0], pi1.uhf[0], 4.91743441556 * ha, 4.91743441556 / ha,
-        687196.39002)
-    ac1 = ac1 + malta.malta_diff_map_lf(
-        pi0.hf[1], pi1.hf[1], 153.671655716 * sqrt_ha,
-        153.671655716 / sqrt_ha, 83150785.9592)
-    ac0 = ac0 + malta.malta_diff_map_lf(
-        pi0.hf[0], pi1.hf[0], 668.358918152 * sqrt_ha,
-        668.358918152 / sqrt_ha, 0.882954368025)
-    ac1 = ac1 + malta.malta_diff_map_lf(
-        pi0.mf[1], pi1.mf[1], 6841.81248144, 6841.81248144, 0.0135134962487)
-    ac0 = ac0 + malta.malta_diff_map_lf(
-        pi0.mf[0], pi1.mf[0], 813.901703816, 813.901703816, 16792.9322251)
+    # Malta stages (weights/norms from butteraugli.cc:831-871). All six
+    # scaled-diff planes go through TWO batched stencil convs (the conv is
+    # launch-overhead-bound, not FLOP-bound, on small images).
+    MULLI = 0.354191303559
+    MULLI_LF = 0.405371989604
+    d_nonlf = jnp.stack([
+        malta.malta_scaled_diffs(pi0.uhf[1], pi1.uhf[1],
+                                 5.1409625726 * ha, 5.1409625726 / ha,
+                                 58.5001247061, mulli=MULLI),
+        malta.malta_scaled_diffs(pi0.uhf[0], pi1.uhf[0],
+                                 4.91743441556 * ha, 4.91743441556 / ha,
+                                 687196.39002, mulli=MULLI),
+    ])
+    d_lf = jnp.stack([
+        malta.malta_scaled_diffs(pi0.hf[1], pi1.hf[1],
+                                 153.671655716 * sqrt_ha,
+                                 153.671655716 / sqrt_ha,
+                                 83150785.9592, mulli=MULLI_LF),
+        malta.malta_scaled_diffs(pi0.hf[0], pi1.hf[0],
+                                 668.358918152 * sqrt_ha,
+                                 668.358918152 / sqrt_ha,
+                                 0.882954368025, mulli=MULLI_LF),
+        malta.malta_scaled_diffs(pi0.mf[1], pi1.mf[1], 6841.81248144,
+                                 6841.81248144, 0.0135134962487,
+                                 mulli=MULLI_LF),
+        malta.malta_scaled_diffs(pi0.mf[0], pi1.mf[0], 813.901703816,
+                                 813.901703816, 16792.9322251,
+                                 mulli=MULLI_LF),
+    ])
+    s_nonlf = malta.malta_sum_of_squares_batch(d_nonlf, lf=False)
+    s_lf = malta.malta_sum_of_squares_batch(d_lf, lf=True)
+    ac1 = ac1 + s_nonlf[0] + s_lf[0] + s_lf[2]
+    ac0 = ac0 + s_nonlf[1] + s_lf[1] + s_lf[3]
 
     wmul = (0.0, 32.4449876135, 0.0, 0.0, 0.0, 0.0,
             1.01370836411, 0.0, 1.74566011615)

@@ -78,13 +78,21 @@ def _kernels(lf: bool) -> np.ndarray:
 def malta_sum_of_squares(diffs: jax.Array, lf: bool) -> jax.Array:
     """(H, W) scaled diff image -> (H, W) sum over the 16 patterns of the
     squared line sums (zero-padded borders)."""
-    x = diffs[None, None, :, :]
+    return malta_sum_of_squares_batch(diffs[None], lf)[0]
+
+
+def malta_sum_of_squares_batch(diffs: jax.Array, lf: bool) -> jax.Array:
+    """(N, H, W) scaled diff images -> (N, H, W). One conv launch for all N
+    planes: the 9x9x16 stencil conv is launch-overhead-bound on this
+    backend (~5 ms regardless of N), so the diffmap batches its six Malta
+    stages into two calls instead of six."""
+    x = diffs[:, None, :, :]
     kern = jnp.asarray(_kernels(lf))
     sums = jax.lax.conv_general_dilated(
         x, kern, window_strides=(1, 1), padding=[(4, 4), (4, 4)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         precision=jax.lax.Precision.HIGHEST)
-    return jnp.sum(sums[0] * sums[0], axis=0)
+    return jnp.sum(sums * sums, axis=1)
 
 
 def malta_scaled_diffs(lum0: jax.Array, lum1: jax.Array, w_0gt1: float,

@@ -52,28 +52,45 @@ def _interpolate_clamp_negative(lut: np.ndarray, ix: jax.Array) -> jax.Array:
     return jnp.where(at_end, table[len(lut) - 1], lo + mix * (hi - lo))
 
 
+def _mask_curve(k: jax.Array, params) -> jax.Array:
+    """The analytic function the reference samples into its 512-entry mask
+    LUTs (butteraugli.cc:1638-1696): evaluated directly at (float) index k
+    — no gather, identical values."""
+    extmul, extoff, mul, offset, scaler = params
+    c = mul / (0.01 * scaler * k + offset)
+    v = GLOBAL_SCALE * (1.0 + extmul * (c + extoff))
+    v = jnp.maximum(v, 1e-5)
+    return v * v
+
+
+def _interp_analytic(params, ix: jax.Array) -> jax.Array:
+    """LUT-lerp semantics (floor/clamp exactly as InterpolateClampNegative)
+    with the table values computed analytically per element — TPU gathers
+    serialize, arithmetic doesn't."""
+    ix = jnp.maximum(ix, 0.0)
+    base = jnp.minimum(jnp.floor(ix), 510.0)
+    mix = ix - base
+    lo = _mask_curve(base, params)
+    hi = _mask_curve(base + 1.0, params)
+    at_end = ix >= 511.0
+    return jnp.where(at_end, _mask_curve(jnp.full_like(ix, 511.0), params),
+                     lo + mix * (hi - lo))
+
+
 def mask_x(delta):
-    extmul, extoff, mul, offset, scaler = MASK_X_PARAMS
-    return _interpolate_clamp_negative(
-        _mask_lut(extmul, extoff, mul, offset, scaler), delta)
+    return _interp_analytic(MASK_X_PARAMS, delta)
 
 
 def mask_y(delta):
-    extmul, extoff, mul, offset, scaler = MASK_Y_PARAMS
-    return _interpolate_clamp_negative(
-        _mask_lut(extmul, extoff, mul, offset, scaler), delta)
+    return _interp_analytic(MASK_Y_PARAMS, delta)
 
 
 def mask_dc_x(delta):
-    extmul, extoff, mul, offset, scaler = MASK_DC_X_PARAMS
-    return _interpolate_clamp_negative(
-        _mask_lut(extmul, extoff, mul, offset, scaler), delta)
+    return _interp_analytic(MASK_DC_X_PARAMS, delta)
 
 
 def mask_dc_y(delta):
-    extmul, extoff, mul, offset, scaler = MASK_DC_Y_PARAMS
-    return _interpolate_clamp_negative(
-        _mask_lut(extmul, extoff, mul, offset, scaler), delta)
+    return _interp_analytic(MASK_DC_Y_PARAMS, delta)
 
 
 def diff_precompute(p0: jax.Array, p1: jax.Array) -> jax.Array:

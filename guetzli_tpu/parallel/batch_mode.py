@@ -97,6 +97,78 @@ def _fused_handler(payloads: List[dict], cache: dict
     return results
 
 
+def _delta_handler(payloads: List[dict], cache: dict) -> List[tuple]:
+    """Batched delta compare against per-image device-resident coefficient
+    state. payload keys: state (device flat), idx, val (np, bucket-padded),
+    pi0, target, width, height, shapes, factors, wfactor. Returns
+    (distance, distmap, weight_grids, new_state) per payload. All state
+    stacking/unstacking stays on device — only the (idx, val) pairs and the
+    packed result cross the tunnel."""
+    from guetzli_tpu.metric.comparator import (_compare_delta_fused,
+                                               _compare_delta_fused_batch)
+
+    groups: Dict[tuple, List[int]] = {}
+    for i, p in enumerate(payloads):
+        key = (p["width"], p["height"], p["shapes"], p["factors"],
+               p["wfactor"])
+        groups.setdefault(key, []).append(i)
+
+    results: List[Optional[tuple]] = [None] * len(payloads)
+    for key, idxs in groups.items():
+        width, height, shapes, factors, wfactor = key
+        # re-pad every member to the group's max K so the whole group
+        # shares one executable (idempotent repeats of the last pair)
+        kmax = max(len(payloads[i]["idx"]) for i in idxs)
+        for i in idxs:
+            p = payloads[i]
+            pad = kmax - len(p["idx"])
+            if pad:
+                p["idx"] = np.concatenate(
+                    [p["idx"], np.full(pad, p["idx"][-1], p["idx"].dtype)])
+                p["val"] = np.concatenate(
+                    [p["val"], np.full(pad, p["val"][-1], p["val"].dtype)])
+        if len(idxs) == 1:
+            p = payloads[idxs[0]]
+            st, dmap, packed = _compare_delta_fused(
+                p["state"], jnp.asarray(p["idx"]), jnp.asarray(p["val"]),
+                p["pi0"], jnp.float32(p["target"]), width, height,
+                shapes, factors, wfactor)
+            host = np.asarray(packed)
+            bw = -(-width // (8 * wfactor))
+            bh = -(-height // (8 * wfactor))
+            results[idxs[0]] = (float(host[0]), dmap,
+                                host[1:].reshape(2, 4, bh, bw), st)
+            continue
+        ps = [payloads[i] for i in idxs]
+        bucket = 1
+        while bucket < len(ps):
+            bucket *= 2
+        ps_padded = ps + [ps[-1]] * (bucket - len(ps))
+        pi_key = ("pi0",) + tuple(id(p["pi0"]) for p in ps_padded)
+        states = jnp.stack([p["state"] for p in ps_padded])  # on-device
+        idx_b = jnp.asarray(np.stack([p["idx"] for p in ps_padded]))
+        val_b = jnp.asarray(np.stack([p["val"] for p in ps_padded]))
+        pi0s = cache.get(pi_key)
+        if pi0s is None:
+            if len(cache) > 64:
+                cache.clear()
+            pi0s = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                *[p["pi0"] for p in ps_padded])
+            cache[pi_key] = pi0s
+        tds = jnp.asarray([p["target"] for p in ps_padded], jnp.float32)
+        new_states, dmaps, packed = _compare_delta_fused_batch(
+            states, idx_b, val_b, pi0s, tds, width, height, shapes,
+            factors, wfactor)
+        host = np.asarray(packed)
+        bw = -(-width // (8 * wfactor))
+        bh = -(-height // (8 * wfactor))
+        for j, i in enumerate(idxs):
+            results[i] = (float(host[j, 0]), dmaps[j],
+                          host[j, 1:].reshape(2, 4, bh, bw),
+                          new_states[j])
+    return results
+
+
 def _zeroing_handler(payloads: List[dict], cache: dict) -> List[tuple]:
     """Concatenated zeroing kernel. payload keys: comp_mask, args (tuple of
     (N, ...) arrays), limit (float), steps, lookahead, n."""
@@ -135,14 +207,15 @@ def _zeroing_handler(payloads: List[dict], cache: dict) -> List[tuple]:
     return results
 
 
-def make_batcher(timeout: float = 0.02) -> DeviceBatcher:
+def make_batcher(timeout: float = 0.5) -> DeviceBatcher:
     return DeviceBatcher({"fused": _fused_handler,
+                          "delta": _delta_handler,
                           "zeroing": _zeroing_handler}, timeout=timeout)
 
 
 def process_batch(inputs: Sequence, quality: float = 95.0,
                   params=None, stats_list=None,
-                  timeout: float = 0.02) -> List[Optional[bytes]]:
+                  timeout: float = 0.5) -> List[Optional[bytes]]:
     """Encodes a batch of images concurrently on one chip.
 
     inputs: list of (H, W, 3) uint8 arrays or JPEG byte strings. Returns

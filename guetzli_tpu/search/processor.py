@@ -368,6 +368,12 @@ class Processor:
         max_block_error = np.zeros(num_blocks, dtype=np.float64)
         last_indexes = np.zeros(num_blocks, dtype=np.int64)
         first_up_iter = True
+        # Device-resident coefficient state: the refine loop ships only the
+        # changed (index, value) pairs per iteration (full re-upload when a
+        # huge fraction changes, i.e. the first up iteration).
+        self.comparator.reset_coeff_state(
+            [c.coeffs for c in img.components],
+            [c.factor_x for c in img.components])
 
         orig_div_quant = np.asarray(quantize_nearest(
             jnp.asarray(orig.reshape(num_blocks, 3, 64)),
@@ -426,6 +432,7 @@ class Processor:
                                                          limit, "left")))
                     first_up_iter = False
 
+                prev_state = state
                 m, est_size, state, touched, new_rows = (
                     self._apply_candidates(
                         direction, global_blocks, state,
@@ -451,15 +458,32 @@ class Processor:
 
                 # push new state into the image + true output; the compare
                 # and the next iteration's weight grids are ONE fused
-                # device call (a single tunnel round trip per iteration)
+                # device call (a single tunnel round trip per iteration),
+                # shipping only the changed coefficient entries
                 for c in mask_comps:
                     img.components[c].coeffs = np.ascontiguousarray(
                         state[:, c, :].reshape(nby, nbx, 64))
                 encoded = self.output_jpeg(img.save_to_jpeg_data())
-                w_grids = self.comparator.compare_coeffs(
-                    [c.coeffs for c in img.components],
-                    [c.factor_x for c in img.components], factor,
-                    target_mul)
+                chg = new_rows != prev_state[touched]
+                ti, ci, ki = np.nonzero(chg)
+                from guetzli_tpu.metric.comparator import DELTA_MAX
+                if len(ti) == 0:
+                    # nothing changed on-device (all applications were
+                    # precious-guard skips): distance/weights are unchanged
+                    pass
+                elif len(ti) <= DELTA_MAX:
+                    upd_idx = self.comparator.flat_index(
+                        ci, touched[ti], ki)
+                    w_grids = self.comparator.compare_delta(
+                        upd_idx, new_rows[chg], factor, target_mul)
+                else:
+                    self.comparator.reset_coeff_state(
+                        [c.coeffs for c in img.components],
+                        [c.factor_x for c in img.components])
+                    w_grids = self.comparator.compare_coeffs(
+                        [c.coeffs for c in img.components],
+                        [c.factor_x for c in img.components], factor,
+                        target_mul)
                 _log(self.stats,
                      f"Iter {self.stats.num_iterations}: "
                      f"{'up' if direction > 0 else 'down'} "
