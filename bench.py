@@ -47,22 +47,23 @@ def main():
     # Warmup: compile everything (cached on disk for later runs).
     t0 = time.time()
     single = guetzli_tpu.process(rgb, quality=95, stats=ProcessStats())
-    warm = time.time() - t0
+    warm_single = time.time() - t0
+    t0 = time.time()
+    outs = process_batch(imgs, quality=95)
+    warm_batch = time.time() - t0
+    assert all(o is not None and len(o) > 0 for o in outs)
+
+    # Headline: batch mode — concurrent per-image searches multiplex the
+    # chip; the overlapped device calls hide the link latency.
+    t0 = time.time()
+    outs = process_batch(imgs, quality=95)
+    dt_batch = time.time() - t0
 
     t0 = time.time()
     single = guetzli_tpu.process(rgb, quality=95, stats=ProcessStats())
     dt_single = time.time() - t0
 
-    # Batch mode (the scale-out configuration): measured for the record;
-    # on this 1-core host the per-image Python search threads contend, so
-    # the headline is the single-image number until the orchestration is
-    # coroutine-based.
-    t0 = time.time()
-    outs = process_batch(imgs, quality=95)
-    dt_batch = time.time() - t0
-    ok_batch = all(o is not None and len(o) > 0 for o in outs)
-
-    value = mpix1 / dt_single
+    value = BATCH * mpix1 / dt_batch
     result = {
         "metric": "encode_throughput_q95",
         "value": round(value, 5),
@@ -70,12 +71,11 @@ def main():
         "vs_baseline": round(value / BASELINE_MPIX_S, 2),
         "detail": {
             "image": "bees.png", "mpix_per_image": round(mpix1, 4),
-            "single_image_seconds": round(dt_single, 2),
-            "warmup_seconds": round(warm, 2),
-            "output_bytes_single": len(single),
             "batch": BATCH, "batch_seconds": round(dt_batch, 2),
-            "batch_mpix_s": round(BATCH * mpix1 / dt_batch, 5),
-            "batch_ok": ok_batch,
+            "single_image_seconds": round(dt_single, 2),
+            "single_image_mpix_s": round(mpix1 / dt_single, 5),
+            "warmup_seconds": round(warm_single + warm_batch, 2),
+            "output_bytes_single": len(single),
         },
     }
     print(json.dumps(result))

@@ -132,14 +132,55 @@ def _compare_coeffs_impl(coeffs, pi0, target_distance, width, height,
     pi1 = separate_frequencies(xyb1)
     dmap = diffmap_psycho_image(pi0, pi1)
     dist = jnp.max(dmap)
-    ws = []
-    for direction in (1, -1):
-        for rb in range(1, 5):
-            ws.append(_block_weights(dmap, target_distance, wfactor,
-                                     wfactor, direction, rb, width,
-                                     height).ravel())
-    packed = jnp.concatenate([dist[None].astype(jnp.float32)] + ws)
+    ws = _block_weights_all(dmap, target_distance, wfactor, width, height)
+    packed = jnp.concatenate([dist[None].astype(jnp.float32),
+                              ws.reshape(-1)])
     return dmap, packed
+
+
+def _block_weights_all(dmap, target_distance, wfactor, width, height):
+    """All 8 weight grids (directions +1/-1 x rblock 1..4) with the
+    per-block max and the Chebyshev dilations computed once and reused
+    (each reduce_window is a separate launch; sharing turns ~25 of them
+    into 9). Returns (8, bh, bw) in [dir+1 rb1..4, dir-1 rb1..4] order."""
+    sizex = sizey = 8 * wfactor
+    bw = -(-width // sizex)
+    bh = -(-height // sizey)
+    pad_y, pad_x = bh * sizey - height, bw * sizex - width
+    dm = jnp.pad(dmap, ((0, pad_y), (0, pad_x)),
+                 constant_values=-jnp.inf)
+    mdpb = jnp.maximum(jax.lax.reduce_window(
+        dm, -jnp.inf, jax.lax.max, (sizey, sizex), (sizey, sizex),
+        "VALID"), 0.0)
+
+    def dil3(x):
+        return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                     (3, 3), (1, 1), "SAME")
+
+    # mld_rb by incremental 3x3 max-dilation; chebyshev radius rb
+    mlds = []
+    cur = mdpb
+    for _ in range(4):
+        cur = dil3(cur)
+        mlds.append(jnp.maximum(cur, target_distance))
+
+    grids = []
+    for rb in range(4):
+        grids.append(jnp.where((mdpb <= target_distance)
+                               & (mlds[rb] <= 1.1 * target_distance),
+                               1.0, 0.0))
+    k_local = 0.5
+    for rb in range(4):
+        r = rb + 1                      # rblock = max chebyshev distance
+        trig = (mdpb > ((1 - k_local) * target_distance
+                        + k_local * mlds[rb])).astype(dmap.dtype)
+        w = trig                        # d = 0 term
+        t = trig
+        for d in range(1, r + 1):
+            t = dil3(t)
+            w = jnp.maximum(w, t / (d + 1.0))
+        grids.append(w)
+    return jnp.stack(grids)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "factors",

@@ -70,6 +70,13 @@ def _load():
     lib.gtpu_pack_bits.argtypes = [i64p, i32p, ctypes.c_int64, u8p,
                                    ctypes.c_int64]
     lib.gtpu_pack_bits.restype = ctypes.c_int64
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.gtpu_global_order.argtypes = [f32p, i64p, i64p, f32p, f64p,
+                                      ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int32, i32p, f64p,
+                                      ctypes.c_int64, i64p]
+    lib.gtpu_global_order.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -140,6 +147,34 @@ def component_histograms(zz: np.ndarray):
     dc[-1] = ac[-1] = 1
     lib.gtpu_component_histograms(_i32p(z), z.shape[0], _i64p(dc), _i64p(ac))
     return dc, ac
+
+
+def global_order(cand_err, cand_count, last_indexes, block_weight,
+                 max_block_error, direction):
+    """Sorted global candidate order (see processor._build_global_order).
+    Returns (blocks int32 (M,), vals float64 (M,), blocks_to_change)."""
+    import ctypes as ct
+    lib = _load()
+    ce = np.ascontiguousarray(cand_err, dtype=np.float32)
+    n, steps = ce.shape
+    cc = np.ascontiguousarray(cand_count, dtype=np.int64)
+    li = np.ascontiguousarray(last_indexes, dtype=np.int64)
+    bw = np.ascontiguousarray(block_weight, dtype=np.float32)
+    mbe = np.ascontiguousarray(max_block_error, dtype=np.float64)
+    cap = int(cc.sum() + li.sum() + 16)
+    out_b = np.zeros(cap, dtype=np.int32)
+    out_v = np.zeros(cap, dtype=np.float64)
+    btc = ct.c_int64(0)
+    total = lib.gtpu_global_order(
+        ce.ctypes.data_as(ct.POINTER(ct.c_float)), _i64p(cc), _i64p(li),
+        bw.ctypes.data_as(ct.POINTER(ct.c_float)),
+        mbe.ctypes.data_as(ct.POINTER(ct.c_double)), n, steps,
+        int(direction), _i32p(out_b),
+        out_v.ctypes.data_as(ct.POINTER(ct.c_double)), cap,
+        ct.byref(btc))
+    if total < 0:
+        raise RuntimeError("global_order capacity exceeded")
+    return out_b[:total], out_v[:total], int(btc.value)
 
 
 def encode_scan(zz_list, hv_list, dc_codes, dc_depths, ac_codes,

@@ -404,6 +404,63 @@ int64_t gtpu_encode_scan(const int32_t* zz, const int64_t* n_blocks,
   return overflow ? -1 : pos;
 }
 
+// Global-order construction for the refinement loop (the twin of
+// processor._build_global_order + the stable argsort that follows it):
+// for direction>0 collect (block, (err - max_block_error)/weight) for
+// candidate slots in [last_index, count); for direction<0 the slots in
+// [0, last_index) with negated deltas. Output sorted ascending by value
+// (stable). Returns the number of entries; blocks_to_change via out-param.
+int64_t gtpu_global_order(const float* cand_err, const int64_t* cand_count,
+                          const int64_t* last_indexes,
+                          const float* block_weight,
+                          const double* max_block_error, int64_t n,
+                          int64_t steps, int32_t direction,
+                          int32_t* out_blocks, double* out_vals,
+                          int64_t cap, int64_t* blocks_to_change_out) {
+  std::vector<std::pair<double, int64_t>> entries;  // (val, order_key)
+  std::vector<int32_t> blocks;
+  entries.reserve(1024);
+  blocks.reserve(1024);
+  int64_t blocks_to_change = 0;
+  int64_t key = 0;
+  for (int64_t b = 0; b < n; ++b) {
+    double w = block_weight[b];
+    if (w <= 0) continue;
+    int64_t li = last_indexes[b];
+    if (direction > 0) {
+      if (li < cand_count[b]) ++blocks_to_change;
+      for (int64_t t = li; t < cand_count[b]; ++t) {
+        double val = (static_cast<double>(cand_err[b * steps + t]) -
+                      max_block_error[b]) / w;
+        entries.emplace_back(val, key++);
+        blocks.push_back(static_cast<int32_t>(b));
+      }
+    } else {
+      if (li > 0) ++blocks_to_change;
+      for (int64_t t = 0; t < li; ++t) {
+        double val = (max_block_error[b] -
+                      static_cast<double>(cand_err[b * steps + t])) / w;
+        entries.emplace_back(val, key++);
+        blocks.push_back(static_cast<int32_t>(b));
+      }
+    }
+  }
+  *blocks_to_change_out = blocks_to_change;
+  int64_t total = static_cast<int64_t>(entries.size());
+  if (total > cap) return -1;
+  std::vector<int64_t> order(total);
+  for (int64_t i = 0; i < total; ++i) order[i] = i;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int64_t a, int64_t b2) {
+                     return entries[a].first < entries[b2].first;
+                   });
+  for (int64_t i = 0; i < total; ++i) {
+    out_blocks[i] = blocks[order[i]];
+    out_vals[i] = entries[order[i]].first;
+  }
+  return total;
+}
+
 // MSB-first variable-length packing with 0xFF stuffing (the generic
 // _pack_bits twin, used by tests).
 int64_t gtpu_pack_bits(const int64_t* values, const int32_t* lengths,

@@ -21,6 +21,7 @@ from typing import List, Optional
 import numpy as np
 import jax.numpy as jnp
 
+from guetzli_tpu import native
 from guetzli_tpu.config import Params, ProcessStats
 from guetzli_tpu.entropy import histogram as hstats
 from guetzli_tpu.image.output_image import OutputImage
@@ -407,17 +408,21 @@ class Processor:
                     else:
                         bw = w_grids[di, rblock - 1].reshape(-1)
                     block_weight = bw
-                    gb, gv, blocks_to_change = self._build_global_order(
-                        direction, bw, cand_err, cand_count, last_indexes,
-                        max_block_error)
+                    if native.available():
+                        gb, gv, blocks_to_change = native.global_order(
+                            cand_err, cand_count, last_indexes, bw,
+                            max_block_error, direction)
+                    else:
+                        gb, gv, blocks_to_change = self._build_global_order(
+                            direction, bw, cand_err, cand_count,
+                            last_indexes, max_block_error)
+                        order = np.argsort(gv, kind="stable")
+                        gb, gv = gb[order], gv[order]
                     if len(gb):
                         global_blocks, global_vals = gb, gv
                         break
                 if global_blocks is None or not len(global_blocks):
                     break
-                order = np.argsort(global_vals, kind="stable")
-                global_blocks = global_blocks[order]
-                global_vals = global_vals[order]
 
                 rel_size_delta = 0.01 if direction > 0 else 0.0005
                 if direction > 0 and self.comparator.distance_ok(1.0):
