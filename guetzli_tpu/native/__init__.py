@@ -70,6 +70,12 @@ def _load():
     lib.gtpu_pack_bits.argtypes = [i64p, i32p, ctypes.c_int64, u8p,
                                    ctypes.c_int64]
     lib.gtpu_pack_bits.restype = ctypes.c_int64
+    lib.gtpu_delta_hist.argtypes = [i64p, i64p, ctypes.c_int64, i32p,
+                                    i32p, i64p]
+    lib.gtpu_delta_hist.restype = None
+    lib.gtpu_commit_hist.argtypes = [i64p, i64p, ctypes.c_int64, i32p,
+                                     i32p, i64p]
+    lib.gtpu_commit_hist.restype = None
     f32p = ctypes.POINTER(ctypes.c_float)
     f64p = ctypes.POINTER(ctypes.c_double)
     lib.gtpu_global_order.argtypes = [f32p, i64p, i64p, f32p, f64p,
@@ -147,6 +153,40 @@ def component_histograms(zz: np.ndarray):
     dc[-1] = ac[-1] = 1
     lib.gtpu_component_histograms(_i32p(z), z.shape[0], _i64p(dc), _i64p(ac))
     return dc, ac
+
+
+_ZIGZAG = None
+
+
+def _zigzag_table():
+    global _ZIGZAG
+    if _ZIGZAG is None:
+        from guetzli_tpu.jpeg.data import NATURAL_ORDER
+        _ZIGZAG = np.ascontiguousarray(NATURAL_ORDER, dtype=np.int32)
+    return _ZIGZAG
+
+
+def delta_hist(perblock: np.ndarray, touched: np.ndarray,
+               rows_div: np.ndarray) -> np.ndarray:
+    """(256,) histogram delta: new-row AC counts minus perblock[touched]."""
+    lib = _load()
+    out = np.zeros(256, dtype=np.int64)
+    t = np.ascontiguousarray(touched, dtype=np.int64)
+    r = np.ascontiguousarray(rows_div, dtype=np.int32)
+    lib.gtpu_delta_hist(_i64p(perblock), _i64p(t), len(t), _i32p(r),
+                        _i32p(_zigzag_table()), _i64p(out))
+    return out
+
+
+def commit_hist(perblock: np.ndarray, touched: np.ndarray,
+                rows_div: np.ndarray, base_hist: np.ndarray) -> None:
+    """In-place: perblock[touched] <- new rows' histograms; base_hist
+    adjusted by the net delta."""
+    lib = _load()
+    t = np.ascontiguousarray(touched, dtype=np.int64)
+    r = np.ascontiguousarray(rows_div, dtype=np.int32)
+    lib.gtpu_commit_hist(_i64p(perblock), _i64p(t), len(t), _i32p(r),
+                         _i32p(_zigzag_table()), _i64p(base_hist))
 
 
 def global_order(cand_err, cand_count, last_indexes, block_weight,

@@ -404,6 +404,72 @@ int64_t gtpu_encode_scan(const int32_t* zz, const int64_t* n_blocks,
   return overflow ? -1 : pos;
 }
 
+// Histogram delta for a candidate application: out[256] +=
+// (sum of new-row AC histograms) - (sum of perblock[touched] rows).
+// rows_div: (T, 64) quant-divided coefficients in NATURAL order; zigzag:
+// 64-entry map from zigzag position -> natural index.
+void gtpu_delta_hist(const int64_t* perblock, const int64_t* touched,
+                     int64_t t_count, const int32_t* rows_div,
+                     const int32_t* zigzag, int64_t* out) {
+  for (int64_t t = 0; t < t_count; ++t) {
+    const int64_t* pb = perblock + touched[t] * 256;
+    for (int k = 0; k < 256; ++k) out[k] -= pb[k];
+  }
+  for (int64_t t = 0; t < t_count; ++t) {
+    const int32_t* row = rows_div + t * 64;
+    int run = 0;
+    int last_nz = 0;
+    for (int k = 1; k < 64; ++k) {
+      int32_t v = row[zigzag[k]];
+      if (v == 0) {
+        ++run;
+        continue;
+      }
+      while (run > 15) {
+        out[0xF0] += 2;
+        run -= 16;
+      }
+      out[(run << 4) | NBits(v)] += 2;
+      run = 0;
+      last_nz = k;
+    }
+    if (last_nz < 63) out[0] += 2;
+  }
+}
+
+// Commits an accepted application: rewrites perblock[touched] from the new
+// rows and applies the net delta to base_hist (first 256 bins).
+void gtpu_commit_hist(int64_t* perblock, const int64_t* touched,
+                      int64_t t_count, const int32_t* rows_div,
+                      const int32_t* zigzag, int64_t* base_hist) {
+  for (int64_t t = 0; t < t_count; ++t) {
+    int64_t* pb = perblock + touched[t] * 256;
+    for (int k = 0; k < 256; ++k) {
+      base_hist[k] -= pb[k];
+      pb[k] = 0;
+    }
+    const int32_t* row = rows_div + t * 64;
+    int run = 0;
+    int last_nz = 0;
+    for (int k = 1; k < 64; ++k) {
+      int32_t v = row[zigzag[k]];
+      if (v == 0) {
+        ++run;
+        continue;
+      }
+      while (run > 15) {
+        pb[0xF0] += 2;
+        run -= 16;
+      }
+      pb[(run << 4) | NBits(v)] += 2;
+      run = 0;
+      last_nz = k;
+    }
+    if (last_nz < 63) pb[0] += 2;
+    for (int k = 0; k < 256; ++k) base_hist[k] += pb[k];
+  }
+}
+
 // Global-order construction for the refinement loop (the twin of
 // processor._build_global_order + the stable argsort that follows it):
 // for direction>0 collect (block, (err - max_block_error)/weight) for

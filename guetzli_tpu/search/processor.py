@@ -339,9 +339,13 @@ class Processor:
                     histos.append(frozen_ac[ci].copy())
                     continue
                 h = histos_base[ci].copy()
-                pb_new = block_hists(div_new[:, ci, :][:, NATURAL_ORDER])
-                h[:256] += (pb_new.sum(axis=0)
-                            - perblock[ci][touched].sum(axis=0))
+                if use_native:
+                    h[:256] += native.delta_hist(perblock[ci], touched,
+                                                 div_new[:, ci, :])
+                else:
+                    pb_new = block_hists(div_new[:, ci, :][:, NATURAL_ORDER])
+                    h[:256] += (pb_new.sum(axis=0)
+                                - perblock[ci][touched].sum(axis=0))
                 histos.append(h)
             return self._entropy_size(histos)
 
@@ -353,10 +357,15 @@ class Processor:
             for ci in range(n_out_comps):
                 if ci in frozen_ac:
                     continue
-                pb_new = block_hists(div_new[:, ci, :][:, NATURAL_ORDER])
-                histos_base[ci][:256] += (pb_new.sum(axis=0)
-                                          - perblock[ci][touched].sum(axis=0))
-                perblock[ci][touched] = pb_new
+                if use_native:
+                    native.commit_hist(perblock[ci], touched,
+                                       div_new[:, ci, :], histos_base[ci])
+                else:
+                    pb_new = block_hists(div_new[:, ci, :][:, NATURAL_ORDER])
+                    histos_base[ci][:256] += (
+                        pb_new.sum(axis=0)
+                        - perblock[ci][touched].sum(axis=0))
+                    perblock[ci][touched] = pb_new
 
         inc_histos, inc_perblock = make_incremental(state)
         base_size = jpg_header_size + dc_size + self._entropy_size(inc_histos)
