@@ -19,7 +19,7 @@ import numpy as np
 
 REPO = pathlib.Path(__file__).resolve().parent
 BASELINE_MPIX_S = 1.0 / 60.0  # reference: ~1 CPU-minute per megapixel
-BATCH = 8
+BATCH = 16
 
 
 def main():

@@ -256,4 +256,5 @@ def process_batch(inputs: Sequence, quality: float = 95.0,
         t.start()
     for t in threads:
         t.join()
+    batcher.close()
     return results
