@@ -112,19 +112,29 @@ def main(argv=None) -> int:
         return 1
 
     if os.path.isdir(args.input):
+        # Batch mode: all images encode concurrently on the chip via the
+        # cross-image device-call batcher (per-image failures isolated).
+        from guetzli_tpu.parallel.batch_mode import process_batch
+
         os.makedirs(args.output, exist_ok=True)
         names = sorted(n for n in os.listdir(args.input)
                        if n.lower().endswith((".png", ".jpg", ".jpeg")))
-        failures = 0
+        inputs = []
         for n in names:
-            try:
-                data = open(os.path.join(args.input, n), "rb").read()
-                out = _encode_one(data, args)
-                base = os.path.splitext(n)[0] + ".jpg"
-                open(os.path.join(args.output, base), "wb").write(out)
-            except Exception as e:  # per-image failure isolation
-                sys.stderr.write(f"{n}: FAILED ({e})\n")
+            data = open(os.path.join(args.input, n), "rb").read()
+            if data[:8] == b"\x89PNG\r\n\x1a\n":
+                inputs.append(_read_png(data))
+            else:
+                inputs.append(data)
+        outs = process_batch(inputs, quality=args.quality)
+        failures = 0
+        for n, out in zip(names, outs):
+            if out is None:
+                sys.stderr.write(f"{n}: FAILED\n")
                 failures += 1
+                continue
+            base = os.path.splitext(n)[0] + ".jpg"
+            open(os.path.join(args.output, base), "wb").write(out)
         return 1 if failures else 0
 
     data = (sys.stdin.buffer.read() if args.input in ("-", "--")
