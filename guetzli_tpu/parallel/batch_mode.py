@@ -208,9 +208,16 @@ def _zeroing_handler(payloads: List[dict], cache: dict) -> List[tuple]:
 
 
 def make_batcher(timeout: float = 0.5) -> DeviceBatcher:
+    # max_group=1: empirically the vmapped multi-image executables run far
+    # slower per image than the single-image ones on this backend, while
+    # concurrent singleton flushes (one in flight per worker thread) hide
+    # the link latency completely. The batcher still serializes access and
+    # isolates failures; grouping stays available for zeroing-style concat
+    # kernels if max_group is raised.
     return DeviceBatcher({"fused": _fused_handler,
                           "delta": _delta_handler,
-                          "zeroing": _zeroing_handler}, timeout=timeout)
+                          "zeroing": _zeroing_handler}, timeout=timeout,
+                         max_group=1)
 
 
 def process_batch(inputs: Sequence, quality: float = 95.0,
