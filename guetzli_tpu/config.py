@@ -24,15 +24,6 @@ class Params:
     zeroing_greedy_lookahead: int = 3
     new_zeroing_model: bool = True
 
-    # --- TPU-framework-only knobs (no reference counterpart) ---
-    # Computation dtype for the butteraugli metric on device.
-    metric_dtype: str = "float32"
-    # Pad images to multiples of this many pixels before tracing, so XLA
-    # compile caches hit across nearby image sizes.
-    pad_multiple: int = 64
-    # Batch mode: how many images to co-schedule per device dispatch.
-    batch_size: int = 1
-
 
 @dataclasses.dataclass
 class ProcessStats:
