@@ -36,7 +36,10 @@ def _encode_one(data: bytes, args) -> bytes:
     from guetzli_tpu.search.quality import butteraugli_score_for_quality
 
     params = Params(
-        butteraugli_target=butteraugli_score_for_quality(args.quality))
+        butteraugli_target=butteraugli_score_for_quality(args.quality),
+        try_420=getattr(args, "try_420", False),
+        force_420=getattr(args, "force_420", False),
+        use_silver_screen=getattr(args, "use_silver_screen", False))
     stats = ProcessStats(debug=args.verbose)
 
     if data[:8] == b"\x89PNG\r\n\x1a\n":
@@ -98,6 +101,17 @@ def main(argv=None) -> int:
     p.add_argument("--memlimit", type=int, default=6000,
                    help="memory limit in MB")
     p.add_argument("--nomemlimit", action="store_true")
+    # Extensions: the reference keeps these in Params without CLI flags
+    # (guetzli/processor.h:29-37).
+    p.add_argument("--try-420", action="store_true", dest="try_420",
+                   help="also evaluate 4:2:0 chroma subsampling")
+    p.add_argument("--force-420", action="store_true", dest="force_420",
+                   help="always encode 4:2:0")
+    p.add_argument("--silver-screen", action="store_true",
+                   dest="use_silver_screen",
+                   help="gamma-aware iterative chroma downsampling")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax profiler trace into DIR")
     p.add_argument("input", help="input PNG/JPEG, '-' for stdin, or a "
                    "directory for batch mode")
     p.add_argument("output", help="output JPEG, '-' for stdout, or a "
@@ -114,28 +128,51 @@ def main(argv=None) -> int:
     if os.path.isdir(args.input):
         # Batch mode: all images encode concurrently on the chip via the
         # cross-image device-call batcher (per-image failures isolated).
+        # Finished outputs are written immediately (checkpointing): a
+        # re-run skips files that already exist in the output directory.
         from guetzli_tpu.parallel.batch_mode import process_batch
 
         os.makedirs(args.output, exist_ok=True)
         names = sorted(n for n in os.listdir(args.input)
                        if n.lower().endswith((".png", ".jpg", ".jpeg")))
+        out_paths = [os.path.join(args.output,
+                                  os.path.splitext(n)[0] + ".jpg")
+                     for n in names]
+        todo = [i for i, p in enumerate(out_paths)
+                if not os.path.exists(p)]
+        skipped = len(names) - len(todo)
+        if skipped and args.verbose:
+            sys.stderr.write(f"resuming: {skipped} already done\n")
         inputs = []
-        for n in names:
-            data = open(os.path.join(args.input, n), "rb").read()
+        for i in todo:
+            data = open(os.path.join(args.input, names[i]), "rb").read()
             if data[:8] == b"\x89PNG\r\n\x1a\n":
                 inputs.append(_read_png(data))
             else:
                 inputs.append(data)
-        outs = process_batch(inputs, quality=args.quality)
+
+        def write_done(j, out):
+            if out is not None:
+                open(out_paths[todo[j]], "wb").write(out)
+
+        from guetzli_tpu.config import Params
+        bparams = Params(try_420=getattr(args, "try_420", False),
+                         force_420=getattr(args, "force_420", False),
+                         use_silver_screen=getattr(args,
+                                                   "use_silver_screen",
+                                                   False))
+        outs = process_batch(inputs, quality=args.quality, params=bparams,
+                             on_complete=write_done)
         failures = 0
-        for n, out in zip(names, outs):
+        for j, out in enumerate(outs):
             if out is None:
-                sys.stderr.write(f"{n}: FAILED\n")
+                sys.stderr.write(f"{names[todo[j]]}: FAILED\n")
                 failures += 1
-                continue
-            base = os.path.splitext(n)[0] + ".jpg"
-            open(os.path.join(args.output, base), "wb").write(out)
         return 1 if failures else 0
+
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
 
     data = (sys.stdin.buffer.read() if args.input in ("-", "--")
             else open(args.input, "rb").read())
@@ -144,6 +181,10 @@ def main(argv=None) -> int:
     except Exception as e:
         sys.stderr.write(f"error: {e}\n")
         return 1
+    finally:
+        if args.profile:
+            import jax
+            jax.profiler.stop_trace()
     if args.output in ("-", "--"):
         sys.stdout.buffer.write(out)
     else:

@@ -222,12 +222,18 @@ def make_batcher(timeout: float = 0.5) -> DeviceBatcher:
 
 def process_batch(inputs: Sequence, quality: float = 95.0,
                   params=None, stats_list=None,
-                  timeout: float = 0.5) -> List[Optional[bytes]]:
+                  timeout: float = 0.5,
+                  on_complete=None) -> List[Optional[bytes]]:
     """Encodes a batch of images concurrently on one chip.
 
     inputs: list of (H, W, 3) uint8 arrays or JPEG byte strings. Returns
     one optimized JPEG (or None on per-image failure — failures are
-    isolated, matching the reference test harness's per-file behavior)."""
+    isolated, matching the reference test harness's per-file behavior).
+
+    on_complete(i, jpeg_bytes_or_None): called as each image finishes —
+    the checkpoint hook (callers persist finished outputs immediately, so
+    an interrupted batch run resumes by skipping already-written files).
+    Called from worker threads; must be thread-safe."""
     from guetzli_tpu.config import Params, ProcessStats
     from guetzli_tpu.search.processor import (process_jpeg_bytes,
                                               process_rgb)
@@ -256,6 +262,11 @@ def process_batch(inputs: Sequence, quality: float = 95.0,
             errors[i] = e
         finally:
             batcher.unregister()
+            if on_complete is not None:
+                try:
+                    on_complete(i, results[i])
+                except Exception:
+                    pass
 
     threads = [threading.Thread(target=run, args=(i,), daemon=True)
                for i in range(n)]
