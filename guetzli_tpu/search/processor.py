@@ -150,31 +150,6 @@ class Processor:
     # Entropy-size estimation helpers (reference processor.cc:471-536).
 
     @staticmethod
-    def _ac_histograms(divided: np.ndarray) -> List[np.ndarray]:
-        """divided: (N, C, 64) quant-divided coeffs -> per-channel AC
-        histograms (x2 counting + sentinel)."""
-        out = []
-        for c in range(divided.shape[1]):
-            zz = divided[:, c, :][:, NATURAL_ORDER]
-            s = hstats.component_symbol_stream(zz)
-            h = hstats.new_histogram()
-            np.add.at(h, s.ac_symbols, 2)
-            out.append(h)
-        return out
-
-    @staticmethod
-    def _dc_histograms(divided: np.ndarray) -> List[np.ndarray]:
-        out = []
-        for c in range(divided.shape[1]):
-            dc = divided[:, c, 0]
-            diff = np.diff(dc, prepend=0)
-            nbits = hstats.nbits_for(diff)
-            h = hstats.new_histogram()
-            np.add.at(h, nbits, 2)
-            out.append(h)
-        return out
-
-    @staticmethod
     def _entropy_size(ac_histos: List[np.ndarray]) -> int:
         """ComputeEntropyCodes + EntropyCodedDataSize combined: DHT header
         bytes + entropy-coded bytes for the clustered AC codes."""
@@ -385,9 +360,9 @@ class Processor:
             [c.coeffs for c in img.components],
             [c.factor_x for c in img.components])
 
-        orig_div_quant = np.asarray(quantize_nearest(
-            jnp.asarray(orig.reshape(num_blocks, 3, 64)),
-            jnp.asarray(quant[None])))                      # requantized orig
+        from guetzli_tpu.ops.quantize import quantize_nearest_np
+        orig_div_quant = quantize_nearest_np(
+            orig.reshape(num_blocks, 3, 64), quant[None])  # requantized orig
 
         # precious guard precomputation (processor.cc:722-731)
         sum_of_hf = np.zeros((num_blocks, 3))
