@@ -353,6 +353,19 @@ class ButteraugliComparatorTPU(Comparator):
         state (vectorized over numpy inputs)."""
         return (self._state_offsets[comp] + block * 64 + k).astype(np.int64)
 
+    def verify_device_state(self, coeff_list) -> None:
+        """Paranoid check (GUETZLI_TPU_PARANOID=1): the device-resident
+        coefficient state must equal the host mirror after every delta
+        scatter — guards against backend scatter miscompiles (one already
+        found in the vmapped zeroing loop; see the verify skill notes)."""
+        expect = np.concatenate([np.ascontiguousarray(c, dtype=np.int32)
+                                 .ravel() for c in coeff_list])
+        got = np.asarray(self._state_flat)
+        if not np.array_equal(expect, got):
+            bad = int(np.sum(expect != got))
+            raise AssertionError(
+                f"device coefficient state desynced: {bad} entries differ")
+
     def compare_delta(self, upd_idx: np.ndarray, upd_val: np.ndarray,
                       wfactor: int, target_mul: float) -> np.ndarray:
         """Fused compare against the device state after applying the given

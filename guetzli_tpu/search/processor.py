@@ -41,6 +41,10 @@ class GuetzliOutput:
     distmap_aggregate: float = 0.0
 
 
+import os as _os
+_PARANOID = bool(_os.environ.get("GUETZLI_TPU_PARANOID"))
+
+
 def _log(stats, msg):
     if stats is not None and stats.debug:
         print(msg, flush=True)
@@ -465,6 +469,9 @@ class Processor:
                         ci, touched[ti], ki)
                     w_grids = self.comparator.compare_delta(
                         upd_idx, new_rows[chg], factor, target_mul)
+                    if _PARANOID:
+                        self.comparator.verify_device_state(
+                            [c.coeffs for c in img.components])
                 else:
                     self.comparator.reset_coeff_state(
                         [c.coeffs for c in img.components],
