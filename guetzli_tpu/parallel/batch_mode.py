@@ -196,9 +196,12 @@ def _zeroing_handler(payloads: List[dict], cache: dict) -> List[tuple]:
                 for a in range(nargs))
             limit_np = np.concatenate(
                 [np.full(p["n"], p["limit"], np.float32) for p in ps])
+        nv = np.concatenate([np.asarray(p["n_valid"]) for p in ps]) \
+            if all("n_valid" in p for p in ps) else None
         # run_chunked pads to the fixed chunk size: one compiled variant
         # per `steps` value, shared with single-image mode.
-        host = zeroing.run_chunked(kernel, cat, limit_np, steps, lookahead)
+        host = zeroing.run_chunked(kernel, cat, limit_np, steps, lookahead,
+                                   n_valid=nv)
         off = 0
         for j, i in enumerate(idxs):
             n = ps[j]["n"]

@@ -200,9 +200,12 @@ class Processor:
         self.comparator.start_block_comparisons()
         lookahead = self.params.zeroing_greedy_lookahead
         limit = self.comparator.block_error_limit()
-        n_cand = int(np.max(np.sum(
+        in_mask = np.repeat([(comp_mask >> c) & 1 for c in range(3)],
+                            64).astype(bool)
+        nvalid_blocks = np.sum(
             (cur.reshape(num_blocks, 192) != 0)
-            & (np.arange(192) % 64 != 0)[None, :], axis=1), initial=1))
+            & ((np.arange(192) % 64 != 0) & in_mask)[None, :], axis=1)
+        n_cand = int(np.max(nvalid_blocks, initial=1))
         # Rounded up to a 64-multiple so concurrent images in batch mode
         # land in the same compiled zeroing variant (padding is inert: the
         # extra greedy steps are inactive and their errors stay +inf).
@@ -227,13 +230,15 @@ class Processor:
             idx_seq, err_seq, counts = self.batcher.submit("zeroing", {
                 "comp_mask": comp_mask, "args": zargs,
                 "limit": float(limit), "steps": steps,
-                "lookahead": lookahead, "n": num_blocks})
+                "lookahead": lookahead, "n": num_blocks,
+                "n_valid": nvalid_blocks})
         else:
             kernel = {7: zeroing.compute_zeroing_order_batch,
                       1: zeroing.compute_zeroing_order_420_luma,
                       6: zeroing.compute_zeroing_order_420_chroma}[comp_mask]
             idx_seq, err_seq, counts = zeroing.run_chunked(
-                kernel, zargs, limit, steps, lookahead)
+                kernel, zargs, limit, steps, lookahead,
+                n_valid=nvalid_blocks)
         self.comparator.finish_block_comparisons()
         cand_idx = np.asarray(idx_seq)                      # (N, steps)
         cand_err = np.asarray(err_seq)

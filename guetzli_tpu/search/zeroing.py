@@ -129,15 +129,49 @@ ZEROING_CHUNK = 2048
 
 
 def run_chunked(kernel, args, limit, steps: int, lookahead: int,
-                chunk: int = ZEROING_CHUNK):
+                chunk: int = ZEROING_CHUNK, n_valid=None):
     """Runs a zeroing kernel over fixed-size block chunks.
 
     Every call site (any image size, any batch-mode concatenation) lands in
     one of a handful of compiled executables per `steps` value: the block
     axis is padded to the next power of two (capped at `chunk`) and split
     into `chunk`-sized pieces. Padding rows are all-zero (no candidates,
-    n_valid = 0) so results are unaffected. limit: scalar or (N,)."""
+    n_valid = 0) so results are unaffected. limit: scalar or (N,).
+
+    n_valid (optional, (N,) host ints): per-block candidate counts. Blocks
+    are then sorted and bucketed so a block only pays for a greedy loop of
+    length >= its own candidate count (64-step buckets) instead of the
+    global max — typically 2-3x less device work, identical results."""
     n = args[0].shape[0]
+    if n_valid is not None and n > 0:
+        order = np.argsort(np.asarray(n_valid), kind="stable")
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+        nv_sorted = np.asarray(n_valid)[order]
+        args_sorted = tuple(np.asarray(a)[order] if isinstance(a, np.ndarray)
+                            else jnp.asarray(a)[jnp.asarray(order)]
+                            for a in args)
+        limit_vec = np.broadcast_to(
+            np.asarray(limit, np.float32).reshape(-1), (n,))
+        limit_sorted = np.ascontiguousarray(limit_vec[order])
+        idx = np.zeros((n, steps), dtype=np.int32)
+        err = np.full((n, steps), float(np.asarray(INF)), dtype=np.float32)
+        cnt = np.zeros(n, dtype=np.int64)
+        lo = 0
+        while lo < n:
+            bucket_steps = min(
+                steps, max(64, -(-int(nv_sorted[lo]) // 64) * 64))
+            hi = int(np.searchsorted(nv_sorted, bucket_steps, "right"))
+            hi = max(hi, lo + 1)
+            sub = tuple(a[lo:hi] for a in args_sorted)
+            i, e, c = run_chunked(kernel, sub, limit_sorted[lo:hi],
+                                  bucket_steps, lookahead, chunk)
+            idx[lo:hi, :bucket_steps] = i
+            err[lo:hi, :bucket_steps] = e
+            cnt[lo:hi] = c
+            lo = hi
+        return idx[inv], err[inv], cnt[inv]
+
     if n < chunk:
         c = 256
         while c < n:
