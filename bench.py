@@ -44,24 +44,29 @@ def main():
                         np.uint8)
             for _ in range(BATCH)]
 
-    # Warmup: compile everything (cached on disk for later runs).
-    t0 = time.time()
-    single = guetzli_tpu.process(rgb, quality=95, stats=ProcessStats())
-    warm_single = time.time() - t0
+    # Warmup: one batch run compiles/loads everything (batch mode reuses
+    # the single-image executables; the XLA cache persists in .jax_cache).
     t0 = time.time()
     outs = process_batch(imgs, quality=95)
     warm_batch = time.time() - t0
     assert all(o is not None and len(o) > 0 for o in outs)
 
     # Headline: batch mode — concurrent per-image searches multiplex the
-    # chip; the overlapped device calls hide the link latency.
-    t0 = time.time()
-    outs = process_batch(imgs, quality=95)
-    dt_batch = time.time() - t0
-
-    t0 = time.time()
-    single = guetzli_tpu.process(rgb, quality=95, stats=ProcessStats())
-    dt_single = time.time() - t0
+    # chip; the overlapped device calls hide the link latency. If the
+    # device is badly degraded (shared-tenant variance), report the warm-
+    # up run rather than risk the harness timeout.
+    if warm_batch < 300:
+        t0 = time.time()
+        outs = process_batch(imgs, quality=95)
+        dt_batch = time.time() - t0
+        t0 = time.time()
+        single = guetzli_tpu.process(rgb, quality=95, stats=ProcessStats())
+        dt_single = time.time() - t0
+    else:
+        dt_batch = warm_batch
+        dt_single = float("nan")
+        single = outs[0]
+    warm_single = 0.0
 
     value = BATCH * mpix1 / dt_batch
     result = {
@@ -72,8 +77,10 @@ def main():
         "detail": {
             "image": "bees.png", "mpix_per_image": round(mpix1, 4),
             "batch": BATCH, "batch_seconds": round(dt_batch, 2),
-            "single_image_seconds": round(dt_single, 2),
-            "single_image_mpix_s": round(mpix1 / dt_single, 5),
+            "single_image_seconds": (round(dt_single, 2)
+                                     if dt_single == dt_single else None),
+            "single_image_mpix_s": (round(mpix1 / dt_single, 5)
+                                    if dt_single == dt_single else None),
             "warmup_seconds": round(warm_single + warm_batch, 2),
             "output_bytes_single": len(single),
         },
