@@ -266,6 +266,9 @@ def _delta_bucket(k: int) -> int:
 DELTA_MAX = 16384   # above this, re-uploading the full state is cheaper
 
 
+_UID = __import__("itertools").count()
+
+
 class ButteraugliComparatorTPU(Comparator):
     """Device-resident butteraugli comparator.
 
@@ -274,6 +277,7 @@ class ButteraugliComparatorTPU(Comparator):
 
     def __init__(self, rgb: np.ndarray, target_distance: float,
                  stats=None, batcher=None):
+        self.uid = next(_UID)   # stable cache key for batch-mode handlers
         self.height, self.width = rgb.shape[:2]
         self.target_distance = float(target_distance)
         self.rgb_orig = np.asarray(rgb, dtype=np.uint8)
@@ -306,7 +310,7 @@ class ButteraugliComparatorTPU(Comparator):
         if self.batcher is not None:
             dist, dmap, w = self.batcher.submit("fused", {
                 "coeffs": [np.ascontiguousarray(c) for c in coeff_list],
-                "pi0": self._pi0,
+                "pi0": self._pi0, "uid": self.uid,
                 "target": self.target_distance * target_mul,
                 "width": self.width, "height": self.height,
                 "factors": tuple(factors), "wfactor": int(wfactor),
@@ -383,7 +387,7 @@ class ButteraugliComparatorTPU(Comparator):
         if self.batcher is not None:
             dist, dmap, w, new_state = self.batcher.submit("delta", {
                 "state": self._state_flat, "idx": idx, "val": val,
-                "pi0": self._pi0,
+                "pi0": self._pi0, "uid": self.uid,
                 "target": self.target_distance * target_mul,
                 "width": self.width, "height": self.height,
                 "shapes": self._state_shapes,
@@ -410,12 +414,6 @@ class ButteraugliComparatorTPU(Comparator):
         bh = -(-self.height // (8 * wfactor))
         return host[1:].reshape(2, 4, bh, bw)
 
-    def compare_linear(self, lin1: jax.Array) -> float:
-        dmap, dist = _full_diffmap(self._pi0, _opsin_from_linear(lin1))
-        self._distmap = dmap
-        self.distance = float(dist)
-        return self.distance
-
     def distance_ok(self, target_mul: float) -> bool:
         return self.distance <= target_mul * self.target_distance
 
@@ -441,10 +439,9 @@ class ButteraugliComparatorTPU(Comparator):
     def finish_block_comparisons(self) -> None:
         self._mask_xyz = None
 
-    def corner_masks(self, factor_x: int, factor_y: int) -> jax.Array:
-        """(nby, nbx, 3) mask values at each 8x8 sub-block corner of the
-        (factor-scaled) block grid — what CompareBlock reads at
-        (8*block_y, 8*block_x)."""
+    def corner_masks(self) -> jax.Array:
+        """(nby, nbx, 3) mask values at each full-resolution 8x8 block
+        corner — what CompareBlock reads at (8*block_y, 8*block_x)."""
         assert self._mask_xyz is not None, "call start_block_comparisons"
         m = self._mask_xyz[:, ::8, ::8]          # (3, ceil(H/8), ceil(W/8))
         return jnp.transpose(m, (1, 2, 0))
@@ -463,11 +460,3 @@ class ButteraugliComparatorTPU(Comparator):
         flat = tiles.reshape(-1, 3, 8, 8)
         xyb = block_diff.opsin_tiles(flat)
         return xyb.reshape(nby, nbx, 3, 8, 8)
-
-    def compute_block_error_adjustment_weights(
-            self, direction: int, max_block_dist: int, target_mul: float,
-            factor_x: int, factor_y: int, distmap: jax.Array) -> jax.Array:
-        return _block_weights(distmap,
-                              self.target_distance * target_mul,
-                              factor_x, factor_y, direction,
-                              max_block_dist, self.width, self.height)

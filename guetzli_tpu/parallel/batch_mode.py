@@ -15,6 +15,7 @@ parallelism inventory): the reference achieves batch throughput with
 
 from __future__ import annotations
 
+import os
 import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -68,7 +69,8 @@ def _fused_handler(payloads: List[dict], cache: dict
         # The per-image psycho-images never change: cache the stacked tree
         # per group composition (stacking ~12 full-image arrays every
         # iteration costs real dispatch time).
-        pi_key = ("pi0",) + tuple(id(p["pi0"]) for p in ps_padded)
+        pi_key = ("pi0",) + tuple(p.get("uid", id(p["pi0"]))
+                                  for p in ps_padded)
         same = all(c.shape == ps[0]["coeffs"][0].shape
                    for c in ps[0]["coeffs"][1:])
         if same:
@@ -144,7 +146,8 @@ def _delta_handler(payloads: List[dict], cache: dict) -> List[tuple]:
         while bucket < len(ps):
             bucket *= 2
         ps_padded = ps + [ps[-1]] * (bucket - len(ps))
-        pi_key = ("pi0",) + tuple(id(p["pi0"]) for p in ps_padded)
+        pi_key = ("pi0",) + tuple(p.get("uid", id(p["pi0"]))
+                                  for p in ps_padded)
         states = jnp.stack([p["state"] for p in ps_padded])  # on-device
         idx_b = jnp.asarray(np.stack([p["idx"] for p in ps_padded]))
         val_b = jnp.asarray(np.stack([p["val"] for p in ps_padded]))
@@ -179,11 +182,11 @@ def _zeroing_handler(payloads: List[dict], cache: dict) -> List[tuple]:
                6: zeroing.compute_zeroing_order_420_chroma}
     groups: Dict[tuple, List[int]] = {}
     for i, p in enumerate(payloads):
-        groups.setdefault((p["comp_mask"], p["steps"], p["lookahead"]),
-                          []).append(i)
+        groups.setdefault((p["comp_mask"], p["steps"], p["lookahead"],
+                           p.get("new_model", True)), []).append(i)
 
     results: List[Optional[tuple]] = [None] * len(payloads)
-    for (comp_mask, steps, lookahead), idxs in groups.items():
+    for (comp_mask, steps, lookahead, new_model), idxs in groups.items():
         kernel = kernels[comp_mask]
         ps = [payloads[i] for i in idxs]
         nargs = len(ps[0]["args"])
@@ -201,7 +204,7 @@ def _zeroing_handler(payloads: List[dict], cache: dict) -> List[tuple]:
         # run_chunked pads to the fixed chunk size: one compiled variant
         # per `steps` value, shared with single-image mode.
         host = zeroing.run_chunked(kernel, cat, limit_np, steps, lookahead,
-                                   n_valid=nv)
+                                   n_valid=nv, new_model=new_model)
         off = 0
         for j, i in enumerate(idxs):
             n = ps[j]["n"]
@@ -246,8 +249,11 @@ def process_batch(inputs: Sequence, quality: float = 95.0,
     results: List[Optional[bytes]] = [None] * n
     errors: List[Optional[BaseException]] = [None] * n
     batcher = make_batcher(timeout=timeout)
+    max_workers = int(os.environ.get("GUETZLI_TPU_BATCH_WORKERS", "16"))
+    slots = threading.Semaphore(max_workers)
 
     def run(i):
+        slots.acquire()
         batcher.register()
         try:
             p = Params(**(params.__dict__ if params is not None else {}))
@@ -265,6 +271,13 @@ def process_batch(inputs: Sequence, quality: float = 95.0,
             errors[i] = e
         finally:
             batcher.unregister()
+            slots.release()
+            if errors[i] is not None:
+                import sys as _sys
+                import traceback as _tb
+                _sys.stderr.write(
+                    f"image {i} failed: "
+                    f"{''.join(_tb.format_exception_only(errors[i]))}")
             if on_complete is not None:
                 try:
                     on_complete(i, results[i])

@@ -76,7 +76,7 @@ class DeviceBatcher:
                         self._pending = []
                 if batch is not None:
                     self._execute(batch)   # releases the lock inside
-                    deadline = time.monotonic() + self._timeout
+                    # _execute completes this request; loop exits next pass
                 elif not self._cv.wait(0.005):
                     pass                   # re-check trigger/deadline
         if req["error"] is not None:
@@ -104,8 +104,11 @@ class DeviceBatcher:
                     for r, res in zip(reqs, results):
                         r["result"] = res
                 except Exception as e:
+                    # fail only requests without a delivered result, so a
+                    # partially-processed flush keeps per-image isolation
                     for r in reqs:
-                        r["error"] = e
+                        if r["result"] is None:
+                            r["error"] = e
         finally:
             self.stats["handler_s"] += time.time() - t0
             self._cv.acquire()

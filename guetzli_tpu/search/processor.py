@@ -212,7 +212,7 @@ class Processor:
         steps = max(64, -(-n_cand // 64) * 64)
 
         if comp_mask == 7:
-            mask3 = self.comparator.corner_masks(1, 1).reshape(
+            mask3 = self.comparator.corner_masks().reshape(
                 num_blocks, 3)
             xyb0 = self.comparator.original_block_opsin().reshape(
                 num_blocks, 3, 8, 8)
@@ -231,14 +231,16 @@ class Processor:
                 "comp_mask": comp_mask, "args": zargs,
                 "limit": float(limit), "steps": steps,
                 "lookahead": lookahead, "n": num_blocks,
-                "n_valid": nvalid_blocks})
+                "n_valid": nvalid_blocks,
+                "new_model": self.params.new_zeroing_model})
         else:
             kernel = {7: zeroing.compute_zeroing_order_batch,
                       1: zeroing.compute_zeroing_order_420_luma,
                       6: zeroing.compute_zeroing_order_420_chroma}[comp_mask]
             idx_seq, err_seq, counts = zeroing.run_chunked(
                 kernel, zargs, limit, steps, lookahead,
-                n_valid=nvalid_blocks)
+                n_valid=nvalid_blocks,
+                new_model=self.params.new_zeroing_model)
         self.comparator.finish_block_comparisons()
         cand_idx = np.asarray(idx_seq)                      # (N, steps)
         cand_err = np.asarray(err_seq)
@@ -276,7 +278,7 @@ class Processor:
         frozen_ac = {}
         pad_eob = {}
         for ci, ach in enumerate(out_ac_hist):
-            if ci in mask_comps or ci >= len(jpg_out.components):
+            if ci in mask_comps:
                 n_out_blocks = (jpg_out.components[ci].height_in_blocks
                                 * jpg_out.components[ci].width_in_blocks)
                 pad_eob[ci] = n_out_blocks - num_blocks
@@ -374,7 +376,6 @@ class Processor:
             orig.reshape(num_blocks, 3, 64), quant[None])  # requantized orig
 
         # precious guard precomputation (processor.cc:722-731)
-        sum_of_hf = np.zeros((num_blocks, 3))
         hf_sel = np.array([i for i in range(64)
                            if not ((i & 7) < 3 and i < 24) and i >= 3])
         sum_of_hf = np.abs(orig[:, :, hf_sel]).sum(axis=2)  # (N, 3)
@@ -509,7 +510,7 @@ class Processor:
 
         cb = tiles_of(dither_to_u8(img.components[1].pixels16()))
         cr = tiles_of(dither_to_u8(img.components[2].pixels16()))
-        mask3 = self.comparator.corner_masks(1, 1).reshape(num_blocks, 3)
+        mask3 = self.comparator.corner_masks().reshape(num_blocks, 3)
         xyb0 = self.comparator.original_block_opsin().reshape(
             num_blocks, 3, 8, 8)
         vw = np.minimum(width - 8 * (np.arange(num_blocks) % nbx), 8)
@@ -557,7 +558,7 @@ class Processor:
         # is full-res block (2by+iy, 2bx+ix).
         fb_y, fb_x = -(-height // 8), -(-width // 8)
         xyb0 = self.comparator.original_block_opsin()   # (fb_y, fb_x, ...)
-        m3 = self.comparator.corner_masks(1, 1)         # (fb_y, fb_x, 3)
+        m3 = self.comparator.corner_masks()         # (fb_y, fb_x, 3)
         sy = np.minimum(np.arange(nby * 2), fb_y - 1)
         sx = np.minimum(np.arange(nbx * 2), fb_x - 1)
         xyb0 = xyb0[jnp.asarray(sy)][:, jnp.asarray(sx)]

@@ -35,17 +35,38 @@ LOOKAHEAD = 3
 INF = jnp.float32(1e17)
 
 
-def candidate_scores(cur: jax.Array, orig: jax.Array,
-                     comp_mask: int) -> jax.Array:
+# Legacy zeroing-model tables (reference processor.cc:369-379): per-zigzag
+# CSF divisor + per-channel weight for the pre-"new model" priority.
+OLD_CSF = np.array([
+    10, 10, 20, 40, 60, 70, 80, 90,
+    10, 20, 30, 60, 70, 80, 90, 90,
+    20, 30, 60, 70, 80, 90, 90, 90,
+    40, 60, 70, 80, 90, 90, 90, 90,
+    60, 70, 80, 90, 90, 90, 90, 90,
+    70, 80, 90, 90, 90, 90, 90, 90,
+    80, 90, 90, 90, 90, 90, 90, 90,
+    90, 90, 90, 90, 90, 90, 90, 90], dtype=np.float32)
+OLD_WEIGHT = np.array([1.0, 0.22, 0.20], dtype=np.float32)
+
+
+def candidate_scores(cur: jax.Array, orig: jax.Array, comp_mask: int,
+                     new_model: bool = True) -> jax.Array:
     """(N, 3, 64) current + original coeffs -> ((N, 192) priority, valid).
     Lower priority zeroes first; invalid slots +inf. New zeroing model:
-    |orig| * csf + bias (guetzli/processor.cc:388-389)."""
-    csf = jnp.asarray(CSF)
-    bias = jnp.asarray(BIAS)
+    |orig| * csf + bias; legacy: (|orig| - zigzag/64) * weight / oldCsf
+    (guetzli/processor.cc:386-393)."""
     n = cur.shape[0]
     flat_cur = cur.reshape(n, 192)
     flat_orig = orig.reshape(n, 192)
-    score = jnp.abs(flat_orig.astype(jnp.float32)) * csf + bias
+    if new_model:
+        score = (jnp.abs(flat_orig.astype(jnp.float32)) * jnp.asarray(CSF)
+                 + jnp.asarray(BIAS))
+    else:
+        from guetzli_tpu.jpeg.data import ZIGZAG_ORDER
+        zz = np.tile(np.asarray(ZIGZAG_ORDER, np.float32), 3)
+        w = np.repeat(OLD_WEIGHT, 64) / np.tile(OLD_CSF, 3)
+        score = ((jnp.abs(flat_orig.astype(jnp.float32)) - zz / 64.0)
+                 * jnp.asarray(w))
     idx = jnp.arange(192)
     k = idx % 64
     c = idx // 64
@@ -129,7 +150,8 @@ ZEROING_CHUNK = 2048
 
 
 def run_chunked(kernel, args, limit, steps: int, lookahead: int,
-                chunk: int = ZEROING_CHUNK, n_valid=None):
+                chunk: int = ZEROING_CHUNK, n_valid=None,
+                new_model: bool = True):
     """Runs a zeroing kernel over fixed-size block chunks.
 
     Every call site (any image size, any batch-mode concatenation) lands in
@@ -165,7 +187,8 @@ def run_chunked(kernel, args, limit, steps: int, lookahead: int,
             hi = max(hi, lo + 1)
             sub = tuple(a[lo:hi] for a in args_sorted)
             i, e, c = run_chunked(kernel, sub, limit_sorted[lo:hi],
-                                  bucket_steps, lookahead, chunk)
+                                  bucket_steps, lookahead, chunk,
+                                  new_model=new_model)
             idx[lo:hi, :bucket_steps] = i
             err[lo:hi, :bucket_steps] = e
             cnt[lo:hi] = c
@@ -192,7 +215,8 @@ def run_chunked(kernel, args, limit, steps: int, lookahead: int,
 
         chunk_args = tuple(prep(a) for a in args)
         lim = prep(limit_vec)
-        outs.append(kernel(*chunk_args, lim, steps, lookahead))
+        outs.append(kernel(*chunk_args, lim, steps, lookahead,
+                           new_model))
     idx = np.concatenate([np.asarray(o[0]) for o in outs])[:n]
     err = np.concatenate([np.asarray(o[1]) for o in outs])[:n]
     cnt = np.concatenate([np.asarray(o[2]) for o in outs])[:n]
@@ -210,16 +234,18 @@ def _tile_linear_rgb_444(coeffs: jax.Array, vw, vh) -> jax.Array:
     return srgb8_to_linear(jnp.transpose(rgb, (2, 0, 1)))
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "lookahead"))
+@functools.partial(jax.jit, static_argnames=("steps", "lookahead",
+                                              "new_model"))
 def compute_zeroing_order_batch(cur, orig, xyb0, mask3, valid_w, valid_h,
                                 block_error_limit, steps,
-                                lookahead: int = LOOKAHEAD):
+                                lookahead: int = LOOKAHEAD,
+                                new_model: bool = True):
     """All blocks' zeroing orders for the 444 pass.
 
     cur/orig: (N, 3, 64) int32 dequantized; xyb0: (N, 3, 8, 8) original
     opsin tiles; mask3: (N, 3); valid_w/h: (N,). Returns
     (idx_seq (N, steps), err_seq (N, steps) monotonic, counts (N,))."""
-    scores, valid = candidate_scores(cur, orig, 7)
+    scores, valid = candidate_scores(cur, orig, 7, new_model)
     order = jnp.argsort(scores, axis=1)
     n_valid = jnp.sum(valid, axis=1)
 
@@ -244,17 +270,19 @@ def compute_zeroing_order_batch(cur, orig, xyb0, mask3, valid_w, valid_h,
 # 420 luma pass (comp_mask = 1): Y live, chroma pixels frozen.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("steps", "lookahead"))
+@functools.partial(jax.jit, static_argnames=("steps", "lookahead",
+                                              "new_model"))
 def compute_zeroing_order_420_luma(cur_y, orig_y, cb_tiles, cr_tiles,
                                    xyb0, mask3, valid_w, valid_h,
                                    block_error_limit, steps,
-                                   lookahead: int = LOOKAHEAD):
+                                   lookahead: int = LOOKAHEAD,
+                                   new_model: bool = True):
     """cur_y/orig_y: (N, 64); cb/cr_tiles: (N, 8, 8) frozen dithered chroma
     pixels of each Y block's region; rest as in the 444 pass."""
     n = cur_y.shape[0]
     cur3 = jnp.zeros((n, 3, 64), cur_y.dtype).at[:, 0, :].set(cur_y)
     orig3 = jnp.zeros((n, 3, 64), orig_y.dtype).at[:, 0, :].set(orig_y)
-    scores, valid = candidate_scores(cur3, orig3, 1)
+    scores, valid = candidate_scores(cur3, orig3, 1, new_model)
     order = jnp.argsort(scores, axis=1)
     n_valid = jnp.sum(valid, axis=1)
 
@@ -307,11 +335,13 @@ def _upsample_tile(sub_center: jax.Array, ring: jax.Array) -> jax.Array:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "lookahead"))
+@functools.partial(jax.jit, static_argnames=("steps", "lookahead",
+                                              "new_model"))
 def compute_zeroing_order_420_chroma(cur_uv, orig_uv, rings_u, rings_v,
                                      y_tiles, xyb0_4, mask3_4, subvalid,
                                      xpar16, block_error_limit, steps,
-                                     lookahead: int = LOOKAHEAD):
+                                     lookahead: int = LOOKAHEAD,
+                                     new_model: bool = True):
     """cur_uv/orig_uv: (N, 2, 64) chroma coeffs per factor-2 block;
     rings_u/v: (N, 10, 10) frozen x16 subsampled neighborhoods;
     y_tiles: (N, 16, 16) frozen dithered Y pixels; xyb0_4: (N, 4, 3, 8, 8)
@@ -321,7 +351,7 @@ def compute_zeroing_order_420_chroma(cur_uv, orig_uv, rings_u, rings_v,
     n = cur_uv.shape[0]
     cur3 = jnp.zeros((n, 3, 64), cur_uv.dtype).at[:, 1:, :].set(cur_uv)
     orig3 = jnp.zeros((n, 3, 64), orig_uv.dtype).at[:, 1:, :].set(orig_uv)
-    scores, valid = candidate_scores(cur3, orig3, 6)
+    scores, valid = candidate_scores(cur3, orig3, 6, new_model)
     order = jnp.argsort(scores, axis=1)
     n_valid = jnp.sum(valid, axis=1)
 

@@ -84,3 +84,23 @@ def test_identity_distance_zero(bees_rgb):
     d = float(np.asarray(
         dm.butteraugli_distance(to_linear(bees_rgb), to_linear(bees_rgb))))
     assert d == 0.0
+
+
+def test_block_weights_all_matches_reference_twin():
+    """_block_weights_all (the fused 8-grid production path) must equal the
+    direct per-(direction, rblock) reference formulation _block_weights."""
+    import jax.numpy as jnp
+    from guetzli_tpu.metric.comparator import (_block_weights,
+                                               _block_weights_all)
+
+    rng = np.random.default_rng(0)
+    dmap = jnp.asarray((rng.random((130, 222)) * 2).astype(np.float32))
+    td = jnp.float32(0.9718)
+    allw = np.asarray(_block_weights_all(dmap, td, 1, 222, 130))
+    i = 0
+    for direction in (1, -1):
+        for rb in range(1, 5):
+            ref = np.asarray(_block_weights(dmap, td, 1, 1, direction, rb,
+                                            222, 130))
+            np.testing.assert_allclose(allw[i], ref, atol=1e-6)
+            i += 1
