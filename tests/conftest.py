@@ -15,6 +15,14 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compile cache: repeat suite runs skip the jit compiles
+# (untracked — first run after a fresh checkout pays them once).
+import pathlib as _pathlib
+_cache = _pathlib.Path(__file__).resolve().parent.parent / ".jax_cache_cpu"
+_cache.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pathlib
 import subprocess
 

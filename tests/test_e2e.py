@@ -58,7 +58,7 @@ def test_png_input_444_vs_oracle(oracle, bees_rgb, tmp_path):
     import guetzli_tpu
     from guetzli_tpu.config import ProcessStats
 
-    crop = np.ascontiguousarray(bees_rgb[:128, :128])
+    crop = np.ascontiguousarray(bees_rgb[:80, :80])
     ours = guetzli_tpu.process(crop, quality=95, stats=ProcessStats())
     ref_path = str(tmp_path / "ref.jpg")
     ref_size = _oracle_encode_rgb(oracle, crop, 95, ref_path, tmp_path)
@@ -75,7 +75,7 @@ def test_jpeg_420_input_vs_oracle(oracle, bees_rgb, tmp_path):
     import guetzli_tpu
     from guetzli_tpu.config import ProcessStats
 
-    crop = Image.fromarray(bees_rgb[:128, 100:228])
+    crop = Image.fromarray(bees_rgb[:80, 100:180])
     buf = io.BytesIO()
     crop.save(buf, "JPEG", quality=100, subsampling=2)   # 4:2:0 input
     jpg420 = buf.getvalue()
@@ -107,7 +107,7 @@ def test_quality_levels_vs_oracle(oracle, bees_rgb, tmp_path, quality):
     from guetzli_tpu.config import ProcessStats
     from guetzli_tpu.search.quality import butteraugli_score_for_quality
 
-    crop = np.ascontiguousarray(bees_rgb[:96, :96])
+    crop = np.ascontiguousarray(bees_rgb[:64, :64])
     ours = guetzli_tpu.process(crop, quality=quality, stats=ProcessStats())
     ref_path = str(tmp_path / f"ref_q{quality}.jpg")
     ref_size = _oracle_encode_rgb(oracle, crop, quality, ref_path, tmp_path)

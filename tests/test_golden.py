@@ -25,7 +25,7 @@ def _encode(data_or_rgb):
 
 @pytest.fixture(scope="module")
 def crop(bees_rgb):
-    return np.ascontiguousarray(bees_rgb[32:128, 48:160])
+    return np.ascontiguousarray(bees_rgb[32:96, 48:128])
 
 
 def _jpeg_bytes(rgb, **save_kwargs):

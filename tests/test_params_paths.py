@@ -27,7 +27,7 @@ def _run(crop, **param_overrides):
 
 @pytest.fixture(scope="module")
 def crop(bees_rgb):
-    return np.ascontiguousarray(bees_rgb[:96, 100:196])
+    return np.ascontiguousarray(bees_rgb[:64, 100:164])
 
 
 def test_force_420(oracle, crop, tmp_path):
@@ -59,7 +59,7 @@ def test_force_420_silver_screen(oracle, crop, tmp_path):
 
 def test_grayscale_png(oracle, bees_rgb, tmp_path):
     gray = np.asarray(
-        Image.fromarray(bees_rgb[:96, :96]).convert("L").convert("RGB"))
+        Image.fromarray(bees_rgb[:64, :64]).convert("L").convert("RGB"))
     out = _run(np.ascontiguousarray(gray))
     dec = _decode(out)
     d = _oracle_distance(oracle, gray, dec, tmp_path)
