@@ -82,10 +82,14 @@ def malta_sum_of_squares(diffs: jax.Array, lf: bool) -> jax.Array:
 
 
 def malta_sum_of_squares_batch(diffs: jax.Array, lf: bool) -> jax.Array:
-    """(N, H, W) scaled diff images -> (N, H, W). One conv launch for all N
-    planes: the 9x9x16 stencil conv is launch-overhead-bound on this
-    backend (~5 ms regardless of N), so the diffmap batches its six Malta
-    stages into two calls instead of six."""
+    """(N, H, W) scaled diff images -> (N, H, W). On TPU this runs as a
+    Pallas kernel (VMEM-resident shifted-adds — the conv lowering is
+    launch-overhead-bound); elsewhere, one batched conv launch for all N
+    planes."""
+    if jax.default_backend() == "tpu":
+        from guetzli_tpu.metric.malta_pallas import (
+            malta_sum_of_squares_pallas)
+        return malta_sum_of_squares_pallas(diffs, lf)
     x = diffs[:, None, :, :]
     kern = jnp.asarray(_kernels(lf))
     sums = jax.lax.conv_general_dilated(

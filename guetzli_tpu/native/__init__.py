@@ -195,7 +195,10 @@ def global_order(cand_err, cand_count, last_indexes, block_weight,
     Returns (blocks int32 (M,), vals float64 (M,), blocks_to_change)."""
     import ctypes as ct
     lib = _load()
-    ce = np.ascontiguousarray(cand_err, dtype=np.float32)
+    ce = cand_err if (isinstance(cand_err, np.ndarray)
+                      and cand_err.dtype == np.float32
+                      and cand_err.flags.c_contiguous) \
+        else np.ascontiguousarray(cand_err, dtype=np.float32)
     n, steps = ce.shape
     cc = np.ascontiguousarray(cand_count, dtype=np.int64)
     li = np.ascontiguousarray(last_indexes, dtype=np.int64)

@@ -104,3 +104,25 @@ def test_block_weights_all_matches_reference_twin():
                                             222, 130))
             np.testing.assert_allclose(allw[i], ref, atol=1e-6)
             i += 1
+
+
+def test_malta_pallas_matches_conv():
+    """The Pallas Malta stencil kernel (interpret mode on CPU) must match
+    the conv formulation to f32 rounding."""
+    import jax.numpy as jnp
+    from guetzli_tpu.metric.malta import _kernels
+    from guetzli_tpu.metric.malta_pallas import malta_sum_of_squares_pallas
+    import jax as _jax
+
+    rng = np.random.default_rng(3)
+    d = jnp.asarray(rng.normal(0, 1, (2, 66, 150)).astype(np.float32))
+    for lf in (False, True):
+        x = d[:, None, :, :]
+        kern = jnp.asarray(_kernels(lf))
+        sums = _jax.lax.conv_general_dilated(
+            x, kern, window_strides=(1, 1), padding=[(4, 4), (4, 4)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=_jax.lax.Precision.HIGHEST)
+        ref = np.asarray(jnp.sum(sums * sums, axis=1))
+        got = np.asarray(malta_sum_of_squares_pallas(d, lf, interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
