@@ -85,48 +85,52 @@ def _replicate_edges(px: jax.Array, vw: jax.Array, vh: jax.Array
     return px[..., iy, :][..., :, ix]
 
 
-def _first_k_remaining(remaining: jax.Array, k: int) -> jax.Array:
-    rank = jnp.cumsum(remaining.astype(jnp.int32)) - 1
-    pos = []
-    for j in range(k):
-        hit = remaining & (rank == j)
-        pos.append(jnp.argmax(hit))
-    return jnp.stack(pos)
-
-
 def _greedy_single(cur_flat: jax.Array, order: jax.Array,
                    n_valid: jax.Array, eval_fn, steps: int,
                    lookahead: int):
     """Greedy zeroing for one block over a flat (192,) coefficient vector;
-    eval_fn(flat) -> scalar error."""
+    eval_fn(flat) -> scalar error.
+
+    The remaining-candidate set is kept as a pointer `p` into a compacted
+    copy of `order`: the candidates under consideration at each step are
+    exactly list[p:p+lookahead] (the first `lookahead` remaining in the
+    ORIGINAL priority order — removing entry p+c shifts the c unchosen
+    earlier entries up one slot, preserving order). This replaces the
+    previous per-step cumsum+argmax rank scan with a handful of one-hot
+    selects, and — like the one-hot coefficient updates — avoids batched
+    dynamic scatters, which miscompile inside vmapped fori_loops on this
+    backend (>512 blocks: picks repeat forever)."""
+    iota = jnp.arange(192)
+
+    def gather(vec, pos):
+        # per-row dynamic gather as a one-hot reduction (no scatter/gather)
+        return jnp.sum(jnp.where(iota == pos, vec, 0))
 
     def step(t, state):
-        cur, remaining, idx_seq, err_seq = state
-        pos = _first_k_remaining(remaining, lookahead)
-        cand_idx = order[pos]
-        errs = jax.vmap(lambda ci: eval_fn(cur.at[ci].set(0)))(cand_idx)
-        navail = jnp.sum(remaining.astype(jnp.int32))
+        cur, lst, p, idx_seq, err_seq = state
+        cand_idx = jnp.stack([gather(lst, p + j)
+                              for j in range(lookahead)])
+        errs = jax.vmap(lambda ci: eval_fn(
+            jnp.where(iota == ci, 0, cur).astype(cur.dtype)))(cand_idx)
+        navail = n_valid - t
         errs = jnp.where(jnp.arange(lookahead) < navail, errs, INF)
         best = jnp.argmin(errs)
-        best_pos = pos[best]
         best_idx = cand_idx[best]
         active = t < n_valid
-        # Elementwise one-hot updates instead of batched scatters: under
-        # vmap on the TPU backend, batched dynamic scatters inside this
-        # fori_loop miscompile for large batch sizes (>512 blocks on
-        # TPU v5e — picks repeat forever); the where-form is exact and
-        # lowers to pure vector ops.
-        iota = jnp.arange(cur.shape[0])
         cur = jnp.where(active & (iota == best_idx), 0, cur)
-        remaining = remaining & ~(active & (iota == best_pos))
+        # compact: shift the unchosen earlier candidates up one slot
+        # (positions p+1 .. p+best each take their predecessor's value)
+        shift_src = jnp.where((iota >= p + 1) & (iota <= p + best),
+                              jnp.roll(lst, 1), lst)
+        lst = jnp.where(active, shift_src, lst)
+        p = p + active.astype(p.dtype)
         idx_seq = idx_seq.at[t].set(jnp.where(active, best_idx, 0))
         err_seq = err_seq.at[t].set(jnp.where(active, errs[best], INF))
-        return cur, remaining, idx_seq, err_seq
+        return cur, lst, p, idx_seq, err_seq
 
-    remaining = jnp.arange(192) < n_valid
-    init = (cur_flat, remaining,
+    init = (cur_flat, order.astype(jnp.int32), jnp.int32(0),
             jnp.zeros(steps, jnp.int32), jnp.full(steps, INF))
-    _, _, idx_seq, err_seq = jax.lax.fori_loop(0, steps, step, init)
+    _, _, _, idx_seq, err_seq = jax.lax.fori_loop(0, steps, step, init)
     return idx_seq, err_seq
 
 
