@@ -125,6 +125,18 @@ def main(argv=None) -> int:
             "output will have noticeable artifacts.\n")
         return 1
 
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
+    try:
+        return _run_cli(args)
+    finally:
+        if args.profile:
+            import jax
+            jax.profiler.stop_trace()
+
+
+def _run_cli(args) -> int:
     if os.path.isdir(args.input):
         # Batch mode: all images encode concurrently on the chip via the
         # cross-image device-call batcher (per-image failures isolated).
@@ -170,10 +182,6 @@ def main(argv=None) -> int:
                 failures += 1
         return 1 if failures else 0
 
-    if args.profile:
-        import jax
-        jax.profiler.start_trace(args.profile)
-
     data = (sys.stdin.buffer.read() if args.input in ("-", "--")
             else open(args.input, "rb").read())
     try:
@@ -181,10 +189,6 @@ def main(argv=None) -> int:
     except Exception as e:
         sys.stderr.write(f"error: {e}\n")
         return 1
-    finally:
-        if args.profile:
-            import jax
-            jax.profiler.stop_trace()
     if args.output in ("-", "--"):
         sys.stdout.buffer.write(out)
     else:

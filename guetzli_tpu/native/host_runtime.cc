@@ -537,6 +537,7 @@ int64_t gtpu_pack_bits(const int64_t* values, const int32_t* lengths,
   for (int64_t i = 0; i < n; ++i) {
     int len = lengths[i];
     if (!len) continue;
+    if (len > 57) return -2;  // carry (<=7) + len must fit in the u64 buffer
     nbits += len;
     buf |= (static_cast<uint64_t>(values[i]) & ((len >= 64 ? ~0ull : ((1ull << len) - 1)))) << (64 - nbits);
     while (nbits >= 8) {
