@@ -43,11 +43,15 @@ class GuetzliOutput:
 
 import os as _os
 _PARANOID = bool(_os.environ.get("GUETZLI_TPU_PARANOID"))
+# Legacy round-1 refinement (one host-driven device call per iteration)
+# for A/B debugging; the default is the on-device chunked engine.
+_HOST_REFINE = bool(_os.environ.get("GUETZLI_TPU_HOST_REFINE"))
 
 
 def _log(stats, msg):
+    from guetzli_tpu.config import print_debug
     if stats is not None and stats.debug:
-        print(msg, flush=True)
+        print_debug(stats, msg + "\n")
 
 
 def remove_original_quantization(jpg: JPEGData) -> np.ndarray:
@@ -118,6 +122,12 @@ class Processor:
         img.apply_global_quantization(q)
         encoded = self.output_jpeg(img.save_to_jpeg_data())
         self.stats.num_iterations += 1
+        if self.stats.debug:
+            from guetzli_tpu.config import log_quant
+            _log(self.stats,
+                 f"Iter {self.stats.num_iterations:2d}: "
+                 f"{img.frame_type_str()} quantization matrix:")
+            log_quant(self.stats, q)
         _log(self.stats,
              f"Iter {self.stats.num_iterations}: {img.frame_type_str()} "
              f"GQ[{quant_search.quant_matrix_heuristic_score(q):5.2f}] "
@@ -361,6 +371,32 @@ class Processor:
              f"candidates={int(cand_count.sum())} steps={steps} "
              f"base={base_size}")
 
+        # precious guard precomputation (processor.cc:722-731)
+        hf_sel = np.array([i for i in range(64)
+                           if not ((i & 7) < 3 and i < 24) and i >= 3])
+        sum_of_hf = np.abs(orig[:, :, hf_sel]).sum(axis=2)  # (N, 3)
+        precious_limit = np.where(sum_of_hf < 60, 4, 8)     # (N, 3)
+
+        if not _HOST_REFINE:
+            # Device-resident refinement: K iterations per device program
+            # (refine_device.py); host syncs only at chunk boundaries for
+            # serialization + Huffman-depth refresh. Batch mode included:
+            # chunk calls from different image threads interleave on the
+            # device (the batcher still coalesces the zeroing and
+            # quant-search compares), and the per-image trajectory is
+            # deterministic, so batch output stays byte-identical to
+            # single-image output.
+            self._refine_engine(
+                img=img, comp_mask=comp_mask, target_mul=target_mul,
+                stop_early=stop_early, factor=factor, nbx=nbx, nby=nby,
+                mask_comps=mask_comps, quant=quant, state=state,
+                orig=orig, cand_idx=cand_idx, cand_err=cand_err,
+                cand_count=cand_count, precious_limit=precious_limit,
+                jpg_header_size=jpg_header_size, dc_size=dc_size,
+                make_incremental=make_incremental, base_size=base_size,
+                pad_eob=pad_eob)
+            return
+
         max_block_error = np.zeros(num_blocks, dtype=np.float64)
         last_indexes = np.zeros(num_blocks, dtype=np.int64)
         first_up_iter = True
@@ -374,12 +410,6 @@ class Processor:
         from guetzli_tpu.ops.quantize import quantize_nearest_np
         orig_div_quant = quantize_nearest_np(
             orig.reshape(num_blocks, 3, 64), quant[None])  # requantized orig
-
-        # precious guard precomputation (processor.cc:722-731)
-        hf_sel = np.array([i for i in range(64)
-                           if not ((i & 7) < 3 and i < 24) and i >= 3])
-        sum_of_hf = np.abs(orig[:, :, hf_sel]).sum(axis=2)  # (N, 3)
-        precious_limit = np.where(sum_of_hf < 60, 4, 8)     # (N, 3)
 
         w_grids = None   # (2, 4, bh, bw) from the last fused compare
 
@@ -493,6 +523,155 @@ class Processor:
                      f"Out[{len(encoded)}] D[{self.comparator.distance:.4f}]")
                 self.maybe_output(encoded)
                 prev_size = est_size
+
+    # --- device-resident refinement loop ------------------------------
+    def _refine_engine(self, img, comp_mask, target_mul, stop_early,
+                       factor, nbx, nby, mask_comps, quant, state, orig,
+                       cand_idx, cand_err, cand_count, precious_limit,
+                       jpg_header_size, dc_size, make_incremental,
+                       base_size, pad_eob):
+        """Chunked on-device up/down refinement (refine_device.py). Host
+        work per chunk: exact entropy/Huffman refresh, serialization of
+        the best/final candidates, verbose trace. Same acceptance
+        semantics as the host loop (reference processor.cc:611-765) with
+        two documented approximations: the in-loop size estimate uses
+        chunk-frozen Huffman depths (vs the reference's refresh every 10
+        coefficients), and MaybeOutput candidates are the per-chunk
+        est-score best + phase finals (vs every iteration)."""
+        import jax.numpy as jnp
+        from guetzli_tpu.search import refine_device as rd
+
+        num_blocks = nbx * nby
+        steps = cand_idx.shape[1]
+        cand_idx = np.ascontiguousarray(cand_idx, dtype=np.int32)
+        cand_err = np.ascontiguousarray(cand_err, dtype=np.float32)
+        cand_count = np.ascontiguousarray(cand_count, dtype=np.int32)
+        factors = tuple(c.factor_x for c in img.components)
+        cfg = rd.RefineCfg(num_blocks, steps, img.width, img.height,
+                           factors, int(factor), int(comp_mask))
+        prec = rd.precious_mask(cand_idx, cand_count, orig,
+                                precious_limit)
+        init192 = np.ascontiguousarray(
+            state.reshape(num_blocks, 192), dtype=np.int32)
+        init_at_cand = init192[np.arange(num_blocks)[:, None], cand_idx]
+        quant_zz = np.stack([quant[c][NATURAL_ORDER[1:]]
+                             for c in range(3)]).astype(np.int32)
+        if comp_mask == 7:
+            frozen = ()
+        elif comp_mask == 1:
+            frozen = (jnp.asarray(img.components[1].coeffs, jnp.int32),
+                      jnp.asarray(img.components[2].coeffs, jnp.int32))
+        else:
+            frozen = (jnp.asarray(img.components[0].coeffs, jnp.int32),)
+        target = float(self.comparator.target_distance)
+
+        def entropy_consts(state3):
+            """Exact clustering + Huffman depths of the current state →
+            the frozen-entropy fields for the next chunk."""
+            histos, _ = make_incremental(state3)
+            clustered, indexes, depths_list, _ = (
+                writer._cluster_histograms(histos))
+            depth_t = np.zeros((3, 256), dtype=np.int32)
+            pad_bits = np.zeros(3, dtype=np.int32)
+            frozen_fudged = 0
+            for ci in range(len(histos)):
+                d = np.asarray(depths_list[indexes[ci]],
+                               dtype=np.int32)[:256]
+                if ci in mask_comps:
+                    depth_t[ci] = d
+                    pad_bits[ci] = pad_eob.get(ci, 0) * int(d[0])
+                else:
+                    frozen_fudged += hstats.histogram_entropy_cost(
+                        histos[ci], depths_list[indexes[ci]])
+            ac_header = sum(hstats.histogram_header_cost(h) // 8
+                            for h in clustered)
+            return depth_t, pad_bits, frozen_fudged, \
+                jpg_header_size + dc_size + ac_header
+
+        consts = rd.RefineConsts(
+            cand_idx=jnp.asarray(cand_idx),
+            cand_err=jnp.asarray(cand_err),
+            cand_count=jnp.asarray(cand_count),
+            init192=jnp.asarray(init192),
+            init_at_cand=jnp.asarray(init_at_cand, jnp.int32),
+            prec=jnp.asarray(prec),
+            quant_zz=jnp.asarray(quant_zz),
+            depths=jnp.zeros((3, 256), jnp.int32),
+            pad_eob_bits=jnp.zeros(3, jnp.int32),
+            frozen_fudged=jnp.int32(0),
+            header_dc=jnp.int32(0),
+            base_size=jnp.float32(base_size),
+            target=jnp.float32(target),
+            wtarget=jnp.float32(target * target_mul),
+            block_limit=jnp.float32(self.comparator.block_error_limit()),
+            stop_threshold=jnp.float32(np.inf),
+            pi0=self.comparator._pi0,
+            frozen_coeffs=frozen)
+
+        carry = rd.init_carry(num_blocks,
+                              float(self.comparator.distance))
+        last_best_serialized = np.inf
+
+        def maybe_out(n_np, dist):
+            st3 = rd.state_from_n_np(init192, cand_idx, cand_count, prec,
+                                     n_np).reshape(num_blocks, 3, 64)
+            for c in mask_comps:
+                img.components[c].coeffs = np.ascontiguousarray(
+                    st3[:, c, :].reshape(nby, nbx, 64))
+            encoded = self.output_jpeg(img.save_to_jpeg_data())
+            score = score_jpeg(dist, len(encoded), target)
+            _log(self.stats, f" Score[{score:.4f}]")
+            if score < self.final_output.score or \
+                    self.final_output.score < 0:
+                self.final_output.jpeg_data = encoded
+                self.final_output.score = score
+            return len(encoded)
+
+        for direction in (1, -1):
+            carry = carry._replace(direction=jnp.int32(direction),
+                                   phase_done=jnp.bool_(False))
+            while True:
+                state3 = rd.state_from_n_np(
+                    init192, cand_idx, cand_count, prec,
+                    np.asarray(carry.n)).reshape(num_blocks, 3, 64)
+                depth_t, pad_bits, frozen_fudged, header_dc = \
+                    entropy_consts(state3)
+                stop_thr = (1.01 * len(self.final_output.jpeg_data)
+                            if (stop_early and direction == -1)
+                            else np.inf)
+                consts = consts._replace(
+                    depths=jnp.asarray(depth_t),
+                    pad_eob_bits=jnp.asarray(pad_bits),
+                    frozen_fudged=jnp.int32(frozen_fudged),
+                    header_dc=jnp.int32(header_dc),
+                    stop_threshold=jnp.float32(stop_thr))
+                carry, logs = rd.refine_chunk(carry, consts, cfg)
+                logs = np.asarray(logs)
+                for row in logs:
+                    if row[0] <= 0:
+                        continue
+                    self.stats.num_iterations += 1
+                    if row[1] > 0:
+                        self.stats.num_iterations_up += 1
+                    else:
+                        self.stats.num_iterations_down += 1
+                    _log(self.stats,
+                         f"Iter {self.stats.num_iterations}: "
+                         f"{'up' if row[1] > 0 else 'down'} "
+                         f"Coeffs[{int(row[2])}] ValThres[{row[3]:.4f}] "
+                         f"Est[{int(row[4])}] D[{row[5]:.4f}]")
+                done = bool(np.asarray(carry.phase_done))
+                best_score = float(np.asarray(carry.best_score))
+                if bool(np.asarray(carry.best_flag)) and \
+                        best_score < last_best_serialized:
+                    maybe_out(np.asarray(carry.best_n),
+                              float(np.asarray(carry.best_dist)))
+                    last_best_serialized = best_score
+                if done:
+                    maybe_out(np.asarray(carry.n),
+                              float(np.asarray(carry.dist)))
+                    break
+        self.comparator.distance = float(np.asarray(carry.dist))
 
     # --- 420 zeroing-pass data assembly -------------------------------
     def _zeroing_420_luma(self, img, cur, orig, nbx, nby):
@@ -806,7 +985,8 @@ def _run(params: Params, stats: ProcessStats, jpg: JPEGData,
     comparator = None
     if w >= 32 and h >= 32:
         comparator = ButteraugliComparatorTPU(
-            rgb, params.butteraugli_target, stats, batcher=batcher)
+            rgb, params.butteraugli_target * params.distance_margin,
+            stats, batcher=batcher)
     out = GuetzliOutput()
     Processor(batcher=batcher).process_jpeg_data(params, jpg, comparator,
                                                  out, stats)
