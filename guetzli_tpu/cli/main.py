@@ -39,8 +39,12 @@ def _encode_one(data: bytes, args) -> bytes:
         butteraugli_target=butteraugli_score_for_quality(args.quality),
         try_420=getattr(args, "try_420", False),
         force_420=getattr(args, "force_420", False),
-        use_silver_screen=getattr(args, "use_silver_screen", False))
-    stats = ProcessStats(debug=args.verbose)
+        use_silver_screen=getattr(args, "use_silver_screen", False),
+        distance_margin=getattr(args, "distance_margin", 1.0))
+    stats = ProcessStats()
+    if args.verbose:
+        # reference wiring: debug sink = stderr (guetzli.cc:279-281)
+        stats.debug_output_file = sys.stderr
 
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         rgb = _read_png(data)
@@ -110,6 +114,11 @@ def main(argv=None) -> int:
     p.add_argument("--silver-screen", action="store_true",
                    dest="use_silver_screen",
                    help="gamma-aware iterative chroma downsampling")
+    p.add_argument("--distance-margin", type=float, default=1.0,
+                   dest="distance_margin", metavar="M",
+                   help="multiply the butteraugli target by M (<1 adds "
+                        "headroom so the f64-measured distance stays "
+                        "strictly under the nominal target; see PARITY.md)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax profiler trace into DIR")
     p.add_argument("input", help="input PNG/JPEG, '-' for stdin, or a "
@@ -172,7 +181,9 @@ def _run_cli(args) -> int:
                          force_420=getattr(args, "force_420", False),
                          use_silver_screen=getattr(args,
                                                    "use_silver_screen",
-                                                   False))
+                                                   False),
+                         distance_margin=getattr(args, "distance_margin",
+                                                 1.0))
         outs = process_batch(inputs, quality=args.quality, params=bparams,
                              on_complete=write_done)
         failures = 0

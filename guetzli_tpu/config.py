@@ -23,20 +23,98 @@ class Params:
     use_silver_screen: bool = False
     zeroing_greedy_lookahead: int = 3
     new_zeroing_model: bool = True
+    # Acceptance-margin multiplier on the butteraugli target (<1 shrinks
+    # it). The device metric runs in f32 and its max-reduction can land a
+    # hair above the f64 target (measured +0.074% worst case on the
+    # corpus, see PARITY.md); 0.998 guarantees the oracle-measured f64
+    # distance stays strictly under the nominal target at a ~0.1-0.3%
+    # size cost. Default 1.0 = reference-identical behavior.
+    distance_margin: float = 1.0
+
+
+# Counter names (reference guetzli/stats.h:29-31).
+NUM_ITERS_CNT = "number of iterations"
+NUM_ITERS_UP_CNT = "number of iterations up"
+NUM_ITERS_DOWN_CNT = "number of iterations down"
 
 
 @dataclasses.dataclass
 class ProcessStats:
-    """Counters mirroring reference guetzli/stats.h:29-40."""
+    """Reference guetzli/stats.h:29-40: a general string->int counter map
+    plus two debug sinks (string buffer and file object) and a filename
+    tag. The three iteration counters keep attribute accessors for
+    convenience."""
 
-    num_iterations: int = 0
-    num_iterations_up: int = 0
-    num_iterations_down: int = 0
-    debug: bool = False
+    counters: dict = dataclasses.field(default_factory=dict)
+    debug_output: list = None       # string sink: appended str chunks
+    debug_output_file: object = None  # file-like sink
+    filename: str = ""
 
-    def counters(self) -> dict:
-        return {
-            "iterations": self.num_iterations,
-            "iterations_up": self.num_iterations_up,
-            "iterations_down": self.num_iterations_down,
-        }
+    def _get(self, name: str) -> int:
+        return self.counters.get(name, 0)
+
+    def _add(self, name: str, delta: int) -> None:
+        self.counters[name] = self.counters.get(name, 0) + delta
+
+    @property
+    def num_iterations(self) -> int:
+        return self._get(NUM_ITERS_CNT)
+
+    @num_iterations.setter
+    def num_iterations(self, v: int) -> None:
+        self.counters[NUM_ITERS_CNT] = v
+
+    @property
+    def num_iterations_up(self) -> int:
+        return self._get(NUM_ITERS_UP_CNT)
+
+    @num_iterations_up.setter
+    def num_iterations_up(self, v: int) -> None:
+        self.counters[NUM_ITERS_UP_CNT] = v
+
+    @property
+    def num_iterations_down(self) -> int:
+        return self._get(NUM_ITERS_DOWN_CNT)
+
+    @num_iterations_down.setter
+    def num_iterations_down(self, v: int) -> None:
+        self.counters[NUM_ITERS_DOWN_CNT] = v
+
+    @property
+    def debug(self) -> bool:
+        return (self.debug_output is not None
+                or self.debug_output_file is not None)
+
+    @debug.setter
+    def debug(self, v: bool) -> None:
+        # Back-compat flag: mirrors the reference CLI wiring
+        # stats.debug_output_file = stderr (guetzli.cc:279-281).
+        import sys
+        self.debug_output_file = sys.stderr if v else None
+
+
+def print_debug(stats: ProcessStats, s: str) -> None:
+    """Reference PrintDebug (guetzli/debug_print.cc:21-28): append to the
+    string sink and/or write to the file sink."""
+    if stats is None:
+        return
+    if stats.debug_output is not None:
+        stats.debug_output.append(s)
+    if stats.debug_output_file is not None:
+        stats.debug_output_file.write(s)
+        stats.debug_output_file.flush()
+
+
+def log_quant(stats: ProcessStats, q) -> None:
+    """GUETZLI_LOG_QUANT (guetzli/debug_print.h:39-47): the three 8x8
+    quantization matrices side by side, row-major."""
+    if stats is None or not stats.debug:
+        return
+    out = []
+    for y in range(8):
+        for c in range(3):
+            for x in range(8):
+                out.append(" %2d" % int(q[c][8 * y + x]))
+            out.append("   ")
+        out.append("\n")
+    print_debug(stats, "".join(out))

@@ -299,7 +299,8 @@ class ButteraugliComparatorTPU(Comparator):
         self._distmap = dmap
         self.distance = float(dist)
         if self.stats is not None and self.stats.debug:
-            print(f" BA D[{self.distance:.4f}]")
+            from guetzli_tpu.config import print_debug
+            print_debug(self.stats, f" BA D[{self.distance:.4f}]\n")
 
     def compare_coeffs(self, coeff_list, factors, wfactor: int,
                        target_mul: float) -> np.ndarray:
@@ -333,7 +334,8 @@ class ButteraugliComparatorTPU(Comparator):
         host = np.asarray(packed)
         self.distance = float(host[0])
         if self.stats is not None and self.stats.debug:
-            print(f" BA D[{self.distance:.4f}]")
+            from guetzli_tpu.config import print_debug
+            print_debug(self.stats, f" BA D[{self.distance:.4f}]\n")
         bw = -(-self.width // (8 * wfactor))
         bh = -(-self.height // (8 * wfactor))
         return host[1:].reshape(2, 4, bh, bw)
@@ -409,7 +411,8 @@ class ButteraugliComparatorTPU(Comparator):
         host = np.asarray(packed)
         self.distance = float(host[0])
         if self.stats is not None and self.stats.debug:
-            print(f" BA D[{self.distance:.4f}]")
+            from guetzli_tpu.config import print_debug
+            print_debug(self.stats, f" BA D[{self.distance:.4f}]\n")
         bw = -(-self.width // (8 * wfactor))
         bh = -(-self.height // (8 * wfactor))
         return host[1:].reshape(2, 4, bh, bw)

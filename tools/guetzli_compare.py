@@ -21,7 +21,32 @@ import sys
 import numpy as np
 
 
+import pathlib
+
+_ORACLE = (pathlib.Path(__file__).resolve().parent / "ref_oracle"
+           / "build" / "oracle")
+
+
 def _distance(rgb0: np.ndarray, rgb1: np.ndarray) -> float:
+    """Butteraugli distance judged by an INDEPENDENT metric: the reference
+    C++ butteraugli (the oracle binary), as in the reference protocol
+    (tools/guetzli-compare.py:23-41) where the judge is never the encoder
+    under test. Falls back to our own metric (with a warning) only when
+    the oracle isn't built."""
+    if _ORACLE.exists():
+        import subprocess
+        import tempfile
+        h, w = rgb0.shape[:2]
+        with tempfile.TemporaryDirectory() as td:
+            p0, p1 = pathlib.Path(td) / "a.rgb", pathlib.Path(td) / "b.rgb"
+            rgb0.astype(np.uint8).tofile(p0)
+            rgb1.astype(np.uint8).tofile(p1)
+            r = subprocess.run(
+                [str(_ORACLE), "ba", str(w), str(h), str(p0), str(p1)],
+                capture_output=True, text=True, timeout=600)
+            return float(r.stdout.split("distance=")[1])
+    print("warning: oracle not built (tools/ref_oracle/build.sh); "
+          "judging with the encoder's own metric", file=sys.stderr)
     import jax.numpy as jnp
     from guetzli_tpu.metric.diffmap import butteraugli_distance
     from guetzli_tpu.ops.gamma import srgb8_to_linear_fast

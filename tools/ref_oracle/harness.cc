@@ -118,6 +118,21 @@ int main(int argc, char** argv) {
     }
     return 0;
   }
+  if (mode == "heatmap") {
+    // heatmap <w> <h> <f32 distmap file> <out raw rgb> — the reference
+    // fuzzy-class heatmap mapping applied to a given distmap.
+    size_t w = atoi(argv[2]), h = atoi(argv[3]);
+    std::string raw = ReadFile(argv[4]);
+    std::vector<float> dm(w * h);
+    memcpy(dm.data(), raw.data(), w * h * sizeof(float));
+    const double good = butteraugli::ButteraugliFuzzyInverse(1.5);
+    const double bad = butteraugli::ButteraugliFuzzyInverse(0.5);
+    std::vector<uint8_t> rgb;
+    butteraugli::CreateHeatMapImage(dm, good, bad, w, h, &rgb);
+    WriteFile(argv[5], rgb.data(), rgb.size());
+    printf("good=%.10f bad=%.10f\n", good, bad);
+    return 0;
+  }
   if (mode == "fdct") {
     std::string in = ReadFile(argv[2]);
     int n = atoi(argv[3]);
