@@ -82,6 +82,25 @@ def fancy_upsample_16(sub: jax.Array, out_h: int, out_w: int) -> jax.Array:
     return out[:out_h, :out_w]
 
 
+def fancy_upsample_16_dyn(sub: jax.Array, h, w, out_h: int,
+                          out_w: int) -> jax.Array:
+    """Bucketed-canvas variant of fancy_upsample_16: sub is the full
+    padded subsampled plane (out_h/2, out_w/2); (h, w) are the TRUE image
+    dims (traced). The reference's edge replication must happen at the
+    true subsampled edge (ceil(h/2)-1, ceil(w/2)-1), so the one ring of
+    subsampled samples beyond it is overwritten with copies of the edge
+    row/column before the (static) upsample math runs; pixels outside
+    (h, w) are garbage and masked by the metric."""
+    sh_t = (h + 1) // 2        # ceil-div, works traced
+
+    sw_t = (w + 1) // 2
+    row = jax.lax.dynamic_slice_in_dim(sub, sh_t - 1, 1, axis=0)
+    sub = jax.lax.dynamic_update_slice_in_dim(sub, row, sh_t, axis=0)
+    col = jax.lax.dynamic_slice_in_dim(sub, sw_t - 1, 1, axis=1)
+    sub = jax.lax.dynamic_update_slice_in_dim(sub, col, sw_t, axis=1)
+    return fancy_upsample_16(sub, out_h, out_w)
+
+
 def dither_to_u8(pixels16: jax.Array) -> jax.Array:
     """x16 fixed point -> uint8-valued int32 with the reference's positional
     dither (guetzli/output_image.cc:82: (p + 8 - (x & 1)) >> 4)."""

@@ -28,6 +28,27 @@ from guetzli_tpu.ops.gamma import srgb8_to_linear_fast as srgb8_to_linear
 from guetzli_tpu.search.score import score_jpeg
 
 
+import os as _os
+
+# Size-bucketed compilation (default ON): images are placed in the
+# top-left of a padded canvas whose dims come from a small geometric
+# ladder, with the true (h, w) as runtime scalars — so one compiled
+# executable serves every image size in a bucket instead of a 2-4 min
+# XLA compile per novel size. Opt out with GUETZLI_TPU_NO_BUCKETS=1
+# (exact round-1 behavior, per-size executables).
+_BUCKETS = not _os.environ.get("GUETZLI_TPU_NO_BUCKETS")
+
+
+def bucket_dim(s: int) -> int:
+    """Smallest ladder dim >= s: multiples of 16, ratio ~1.25 from 64
+    (64, 80, 112, 144, 192, 240, 304, 384, 480, 608, 768, 960, 1200,
+    1504, 1888, 2368, 2960, 3712, ...). Max pixel waste ~1.27x per dim."""
+    b = 64
+    while b < s:
+        b = -(-(b + (b >> 2)) // 16) * 16
+    return b
+
+
 class Comparator(abc.ABC):
     """Abstract metric/acceptance interface (reference comparator.h)."""
 
@@ -103,8 +124,20 @@ def _block_weights(distmap, target_distance, factor_x, factor_y,
     return w
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _precompute_pi0_dyn(lin, h, w):
+    """Padded-canvas psycho-image precompute with true dims (h, w)."""
+    xyb = opsin_dynamics_image(lin, (h, w))
+    return xyb, separate_frequencies(xyb, (h, w))
+
+
+@jax.jit
+def _mask_self_dyn(xyb0, h, w):
+    return mask_fn(xyb0, xyb0, (h, w))
+
+
 def _compare_coeffs_impl(coeffs, pi0, target_distance, width, height,
-                         factors, wfactor):
+                         factors, wfactor, valid_hw=None):
     """One device call per optimizer iteration: host coefficient mirror ->
     pixel planes -> sRGB -> linear -> opsin -> diffmap -> distance, plus the
     block-error adjustment weight grids for both directions x rblock 1..4
@@ -115,8 +148,13 @@ def _compare_coeffs_impl(coeffs, pi0, target_distance, width, height,
     coeffs: tuple of 3 (nby_c, nbx_c, 64) int32 arrays, or one packed
     (3, nby, nbx, 64) array when all components share a grid (444 — one
     host->device transfer instead of three); factors: static per-comp
-    sampling factor (1 or 2); wfactor: the masking pass's block factor."""
+    sampling factor (1 or 2); wfactor: the masking pass's block factor.
+
+    valid_hw: optional traced (h, w) when width/height are a padded size
+    bucket; all border semantics then land at the true (h, w) edge and
+    the returned distmap is zero outside the valid region."""
     from guetzli_tpu.image.output_image import (fancy_upsample_16,
+                                                fancy_upsample_16_dyn,
                                                 idct_pixels16,
                                                 ycbcr_planes_to_srgb)
 
@@ -125,17 +163,32 @@ def _compare_coeffs_impl(coeffs, pi0, target_distance, width, height,
         sub = idct_pixels16(coeffs[c])
         if factors[c] == 1:
             planes.append(sub[:height, :width])
-        else:
+        elif valid_hw is None:
             planes.append(fancy_upsample_16(sub, height, width))
+        else:
+            planes.append(fancy_upsample_16_dyn(sub, valid_hw[0],
+                                                valid_hw[1], height,
+                                                width))
     lin = srgb8_to_linear(ycbcr_planes_to_srgb(*planes))
-    xyb1 = opsin_dynamics_image(lin)
-    pi1 = separate_frequencies(xyb1)
-    dmap = diffmap_psycho_image(pi0, pi1)
+    xyb1 = opsin_dynamics_image(lin, valid_hw)
+    pi1 = separate_frequencies(xyb1, valid_hw)
+    dmap = diffmap_psycho_image(pi0, pi1, valid_hw)
     dist = jnp.max(dmap)
     ws = _block_weights_all(dmap, target_distance, wfactor, width, height)
     packed = jnp.concatenate([dist[None].astype(jnp.float32),
                               ws.reshape(-1)])
     return dmap, packed
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "factors",
+                                             "wfactor"))
+def _compare_coeffs_fused_dyn(coeffs, pi0, target_distance, h, w,
+                              width, height, factors, wfactor):
+    """Bucketed fused compare: width/height static canvas dims, (h, w)
+    traced true dims."""
+    return _compare_coeffs_impl(coeffs, pi0, target_distance, width,
+                                height, factors, wfactor,
+                                valid_hw=(h, w))
 
 
 def _block_weights_all(dmap, target_distance, wfactor, width, height):
@@ -283,17 +336,51 @@ class ButteraugliComparatorTPU(Comparator):
         self.rgb_orig = np.asarray(rgb, dtype=np.uint8)
         self.stats = stats
         self.batcher = batcher  # cross-image device-call batching
-        lin = srgb8_to_linear(jnp.asarray(rgb.transpose(2, 0, 1)))
-        self._xyb0 = _opsin_from_linear(lin)
-        self._pi0 = separate_frequencies(self._xyb0)
+        from guetzli_tpu.parallel import runtime
+        self.sp_mesh = runtime.current_sp_mesh()
+        if self.sp_mesh is not None and len(self.sp_mesh.devices) == 1:
+            self.sp_mesh = None
+        if _BUCKETS:
+            self.hb = bucket_dim(self.height)
+            self.wb = bucket_dim(self.width)
+            pad = np.zeros((self.hb, self.wb, 3), dtype=np.uint8)
+            pad[:self.height, :self.width] = self.rgb_orig
+            lin = jnp.asarray(pad.transpose(2, 0, 1))
+            if self.sp_mesh is not None:
+                # sp: image rows sharded over the worker's submesh; GSPMD
+                # partitions the metric pipeline (halo exchanges + pmax)
+                lin = runtime.shard_rows(lin, self.sp_mesh, 1)
+            lin = srgb8_to_linear(lin)
+            self._xyb0, self._pi0 = _precompute_pi0_dyn(
+                lin, jnp.int32(self.height), jnp.int32(self.width))
+        else:
+            self.hb, self.wb = self.height, self.width
+            lin = srgb8_to_linear(jnp.asarray(rgb.transpose(2, 0, 1)))
+            self._xyb0 = _opsin_from_linear(lin)
+            self._pi0 = separate_frequencies(self._xyb0)
         self._distmap: Optional[jax.Array] = None
         self.distance = 0.0
         self._mask_xyz: Optional[jax.Array] = None
+
+    def pad_comp_grid(self, coeffs: np.ndarray, factor: int) -> np.ndarray:
+        """(nby, nbx, 64) true component grid -> bucket-canvas grid
+        (hb/8f, wb/8f) with zero pad blocks."""
+        nbyb = self.hb // (8 * factor)
+        nbxb = self.wb // (8 * factor)
+        out = np.zeros((nbyb, nbxb, 64), dtype=np.int32)
+        out[:coeffs.shape[0], :coeffs.shape[1]] = coeffs
+        return out
 
     # --- full-image path ---
 
     def compare(self, img) -> None:
         """img: OutputImage. Runs the full diffmap on device."""
+        if _BUCKETS:
+            # reuse the bucketed fused executable (weights discarded)
+            self.compare_coeffs([c.coeffs for c in img.components],
+                                [c.factor_x for c in img.components],
+                                1, 1.0)
+            return
         lin1 = img.to_linear_rgb()
         dmap, dist = _full_diffmap(self._pi0, _opsin_from_linear(lin1))
         self._distmap = dmap
@@ -308,6 +395,38 @@ class ButteraugliComparatorTPU(Comparator):
 
         Sets self.distance/self._distmap and returns the block-error weight
         grids as (2, 4, nby_w, nbx_w): [direction(+1,-1), rblock-1]."""
+        if _BUCKETS:
+            padded = [self.pad_comp_grid(np.asarray(c), f)
+                      for c, f in zip(coeff_list, factors)]
+            if all(p.shape == padded[0].shape for p in padded[1:]):
+                coeffs = jnp.asarray(np.stack(padded))
+                if self.sp_mesh is not None:
+                    from guetzli_tpu.parallel import runtime
+                    coeffs = runtime.shard_rows(coeffs, self.sp_mesh, 1)
+            else:
+                coeffs = tuple(jnp.asarray(p) for p in padded)
+                if self.sp_mesh is not None:
+                    from guetzli_tpu.parallel import runtime
+                    coeffs = tuple(
+                        runtime.shard_rows(c, self.sp_mesh, 0)
+                        for c in coeffs)
+            dmap, packed = _compare_coeffs_fused_dyn(
+                coeffs, self._pi0,
+                jnp.float32(self.target_distance * target_mul),
+                jnp.int32(self.height), jnp.int32(self.width),
+                self.wb, self.hb, tuple(factors), int(wfactor))
+            self._distmap = dmap
+            host = np.asarray(packed)
+            self.distance = float(host[0])
+            if self.stats is not None and self.stats.debug:
+                from guetzli_tpu.config import print_debug
+                print_debug(self.stats, f" BA D[{self.distance:.4f}]\n")
+            bwc = self.wb // (8 * wfactor)
+            bhc = self.hb // (8 * wfactor)
+            bw = -(-self.width // (8 * wfactor))
+            bh = -(-self.height // (8 * wfactor))
+            return host[1:].reshape(8, bhc, bwc)[:, :bh, :bw].reshape(
+                2, 4, bh, bw)
         if self.batcher is not None:
             dist, dmap, w = self.batcher.submit("fused", {
                 "coeffs": [np.ascontiguousarray(c) for c in coeff_list],
@@ -423,7 +542,7 @@ class ButteraugliComparatorTPU(Comparator):
     def distmap(self) -> jax.Array:
         if self._distmap is None:
             return jnp.zeros((self.height, self.width), jnp.float32)
-        return self._distmap
+        return self._distmap[:self.height, :self.width]
 
     def score_output_size(self, size: int) -> float:
         return score_jpeg(self.distance, size, self.target_distance)
@@ -436,7 +555,11 @@ class ButteraugliComparatorTPU(Comparator):
     def start_block_comparisons(self) -> None:
         """Precompute the self-masking field (reference
         StartBlockComparisons: Mask(opsin0, opsin0))."""
-        m, _ = mask_fn(self._xyb0, self._xyb0)
+        if _BUCKETS:
+            m, _ = _mask_self_dyn(self._xyb0, jnp.int32(self.height),
+                                  jnp.int32(self.width))
+        else:
+            m, _ = mask_fn(self._xyb0, self._xyb0)
         self._mask_xyz = m  # (3, H, W)
 
     def finish_block_comparisons(self) -> None:
@@ -444,9 +567,11 @@ class ButteraugliComparatorTPU(Comparator):
 
     def corner_masks(self) -> jax.Array:
         """(nby, nbx, 3) mask values at each full-resolution 8x8 block
-        corner — what CompareBlock reads at (8*block_y, 8*block_x)."""
+        corner — what CompareBlock reads at (8*block_y, 8*block_x); true
+        image grid (bucket pad sliced off)."""
         assert self._mask_xyz is not None, "call start_block_comparisons"
-        m = self._mask_xyz[:, ::8, ::8]          # (3, ceil(H/8), ceil(W/8))
+        nby, nbx = -(-self.height // 8), -(-self.width // 8)
+        m = self._mask_xyz[:, ::8, ::8][:, :nby, :nbx]
         return jnp.transpose(m, (1, 2, 0))
 
     def original_block_opsin(self, factor: int = 1) -> jax.Array:

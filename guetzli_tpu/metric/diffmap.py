@@ -20,10 +20,10 @@ from guetzli_tpu.ops.blur import blur
 HF_ASYMMETRY = 0.8
 
 
-def same_noise_levels(i0, i1, sigma, w, maxclamp):
+def same_noise_levels(i0, i1, sigma, w, maxclamp, valid_hw=None):
     v0 = jnp.minimum(jnp.abs(i0), maxclamp)
     v1 = jnp.minimum(jnp.abs(i1), maxclamp)
-    diff = blur(v0 - v1, sigma, 0.0)
+    diff = blur(v0 - v1, sigma, 0.0, valid_hw)
     return w * diff * diff
 
 
@@ -48,7 +48,7 @@ def l2_diff_asymmetric(i0, i1, w_0gt1, w_0lt1):
     return out + w_0lt1 * v * v
 
 
-def calculate_diffmap(diffmap_in: jax.Array) -> jax.Array:
+def calculate_diffmap(diffmap_in: jax.Array, valid_hw=None) -> jax.Array:
     """sqrt + neighborhood mixing (reference butteraugli.cc:718-751)."""
     k_initial_slope = 100.0
     d = jnp.where(diffmap_in < 1.0 / (k_initial_slope * k_initial_slope),
@@ -57,13 +57,31 @@ def calculate_diffmap(diffmap_in: jax.Array) -> jax.Array:
     sigma = 1.72547472444
     mul1 = 0.458794906198
     scale = 1.0 / (1.0 + mul1)
-    return (d + mul1 * blur(d, sigma, 1.0)) * scale
+    return (d + mul1 * blur(d, sigma, 1.0, valid_hw)) * scale
 
 
-def diffmap_psycho_image(pi0: PsychoImage, pi1: PsychoImage) -> jax.Array:
-    """The per-channel distortion accumulation + masking + combination."""
+def diffmap_psycho_image(pi0: PsychoImage, pi1: PsychoImage,
+                         valid_hw=None) -> jax.Array:
+    """The per-channel distortion accumulation + masking + combination.
+
+    valid_hw: optional traced (h, w) when the planes live in a padded
+    size-bucket canvas. The Malta stencils use zero-pad border semantics
+    (matching the reference), so their inputs are masked to zero outside
+    the valid region; every blur masks internally; pointwise garbage in
+    the pad stays in the pad and the caller masks the final map."""
     ha = HF_ASYMMETRY
     sqrt_ha = jnp.sqrt(jnp.asarray(ha)).item() if False else float(ha) ** 0.5
+
+    if valid_hw is not None:
+        h, w = valid_hw
+        hs, ws = pi0.lf.shape[-2], pi0.lf.shape[-1]
+        vmask = ((jnp.arange(hs) < h)[:, None]
+                 & (jnp.arange(ws) < w)[None, :])
+    else:
+        vmask = None
+
+    def masked(x):
+        return x if vmask is None else jnp.where(vmask, x, 0.0)
 
     ac0 = jnp.zeros_like(pi0.lf[0])
     ac1 = jnp.zeros_like(ac0)
@@ -75,15 +93,15 @@ def diffmap_psycho_image(pi0: PsychoImage, pi1: PsychoImage) -> jax.Array:
     # launch-overhead-bound, not FLOP-bound, on small images).
     MULLI = 0.354191303559
     MULLI_LF = 0.405371989604
-    d_nonlf = jnp.stack([
+    d_nonlf = masked(jnp.stack([
         malta.malta_scaled_diffs(pi0.uhf[1], pi1.uhf[1],
                                  5.1409625726 * ha, 5.1409625726 / ha,
                                  58.5001247061, mulli=MULLI),
         malta.malta_scaled_diffs(pi0.uhf[0], pi1.uhf[0],
                                  4.91743441556 * ha, 4.91743441556 / ha,
                                  687196.39002, mulli=MULLI),
-    ])
-    d_lf = jnp.stack([
+    ]))
+    d_lf = masked(jnp.stack([
         malta.malta_scaled_diffs(pi0.hf[1], pi1.hf[1],
                                  153.671655716 * sqrt_ha,
                                  153.671655716 / sqrt_ha,
@@ -98,7 +116,7 @@ def diffmap_psycho_image(pi0: PsychoImage, pi1: PsychoImage) -> jax.Array:
         malta.malta_scaled_diffs(pi0.mf[0], pi1.mf[0], 813.901703816,
                                  813.901703816, 16792.9322251,
                                  mulli=MULLI_LF),
-    ])
+    ]))
     s_nonlf = malta.malta_sum_of_squares_batch(d_nonlf, lf=False)
     s_lf = malta.malta_sum_of_squares_batch(d_lf, lf=True)
     ac1 = ac1 + s_nonlf[0] + s_lf[0] + s_lf[2]
@@ -108,7 +126,7 @@ def diffmap_psycho_image(pi0: PsychoImage, pi1: PsychoImage) -> jax.Array:
             1.01370836411, 0.0, 1.74566011615)
 
     ac1 = ac1 + same_noise_levels(pi0.hf[1], pi1.hf[1], 10.6666499623,
-                                  884.809801415, 85.7047444518)
+                                  884.809801415, 85.7047444518, valid_hw)
 
     # L2 terms.
     ac0 = ac0 + l2_diff_asymmetric(pi0.hf[0], pi1.hf[0], wmul[0] * ha,
@@ -122,11 +140,11 @@ def diffmap_psycho_image(pi0: PsychoImage, pi1: PsychoImage) -> jax.Array:
     dc[1] = dc[1] + l2_diff(pi0.lf[1], pi1.lf[1], wmul[7])
     dc[2] = dc[2] + l2_diff(pi0.lf[2], pi1.lf[2], wmul[8])
 
-    mask_ac, mask_dc = mask_psycho_image(pi0, pi1)
+    mask_ac, mask_dc = mask_psycho_image(pi0, pi1, valid_hw)
 
     combined = (mask_dc[0] * dc[0] + mask_dc[1] * dc[1] + mask_dc[2] * dc[2]
                 + mask_ac[0] * ac0 + mask_ac[1] * ac1 + mask_ac[2] * ac2)
-    return calculate_diffmap(combined)
+    return masked(calculate_diffmap(masked(combined), valid_hw))
 
 
 def _extend_border(plane: jax.Array, xborder: int, yborder: int,

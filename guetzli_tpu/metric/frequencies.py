@@ -64,19 +64,19 @@ def xyb_lowfreq_to_vals(x, y, b):
     return x * xmul, y * ymul, (b + y_to_b_mul * y) * bmul
 
 
-def separate_frequencies(xyb: jax.Array) -> PsychoImage:
+def separate_frequencies(xyb: jax.Array, valid_hw=None) -> PsychoImage:
     """(3, H, W) XYB -> PsychoImage. Mirrors the reference cascade exactly:
     lf = blur(sigma_lf); mf = blur(residual, sigma_hf) with per-channel
     zero-range shaping; hf = blur(residual, sigma_uhf); uhf = residual, with
     clamping/brightness suppression on Y."""
-    lf = blur(xyb, SIGMA_LF, BORDER_LF)
+    lf = blur(xyb, SIGMA_LF, BORDER_LF, valid_hw)
     res = xyb - lf
 
     # B channel keeps everything else in mf.
-    mf_b = blur(res[2], SIGMA_HF, BORDER_MF)
+    mf_b = blur(res[2], SIGMA_HF, BORDER_MF, valid_hw)
 
-    mf_x_blur = blur(res[0], SIGMA_HF, BORDER_MF)
-    mf_y_blur = blur(res[1], SIGMA_HF, BORDER_MF)
+    mf_x_blur = blur(res[0], SIGMA_HF, BORDER_MF, valid_hw)
+    mf_y_blur = blur(res[1], SIGMA_HF, BORDER_MF, valid_hw)
     hf_x = res[0] - mf_x_blur
     hf_y = res[1] - mf_y_blur
     w0 = 0.120079806822
@@ -95,11 +95,11 @@ def separate_frequencies(xyb: jax.Array) -> PsychoImage:
     k_mul_s_uhf = 1.76905001176
     k_reg_uhf = 2000 * 0.310148420674
 
-    hf_x_blur = blur(hf_x, SIGMA_UHF, BORDER_HF)
+    hf_x_blur = blur(hf_x, SIGMA_UHF, BORDER_HF, valid_hw)
     uhf_x = hf_x - hf_x_blur
     hf_x = remove_range_around_zero(k_remove_hf, hf_x_blur)
 
-    hf_y_blur = blur(hf_y, SIGMA_UHF, BORDER_HF)
+    hf_y_blur = blur(hf_y, SIGMA_UHF, BORDER_HF, valid_hw)
     uhf_y = hf_y - hf_y_blur
     hf_y2 = maximum_clamp(hf_y_blur, k_maxclamp_hf)
     uhf_y = maximum_clamp(uhf_y, k_maxclamp_uhf)

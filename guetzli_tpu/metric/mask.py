@@ -93,16 +93,30 @@ def mask_dc_y(delta):
     return _interp_analytic(MASK_DC_Y_PARAMS, delta)
 
 
-def diff_precompute(p0: jax.Array, p1: jax.Array) -> jax.Array:
+def diff_precompute(p0: jax.Array, p1: jax.Array,
+                    valid_hw=None) -> jax.Array:
     """Local gradient magnitude min of the two images, clamped
-    (reference butteraugli.cc:1699-1739). (H, W) planes."""
+    (reference butteraugli.cc:1699-1739). (H, W) planes. With valid_hw,
+    the far-edge backward step lands at the TRUE edge (h-1, w-1) inside
+    the padded canvas."""
     def grad(p):
         # |p(x,y) - p(x2,y)| + |p(x,y) - p(x,y2)| where x2/y2 step forward,
         # or backward at the far edge (or stay at 0 for size-1 axes).
-        right = jnp.concatenate([p[:, 1:], p[:, -2:-1]], axis=1) \
-            if p.shape[1] > 1 else p
-        down = jnp.concatenate([p[1:, :], p[-2:-1, :]], axis=0) \
-            if p.shape[0] > 1 else p
+        if valid_hw is None:
+            right = jnp.concatenate([p[:, 1:], p[:, -2:-1]], axis=1) \
+                if p.shape[1] > 1 else p
+            down = jnp.concatenate([p[1:, :], p[-2:-1, :]], axis=0) \
+                if p.shape[0] > 1 else p
+        else:
+            h, w = valid_hw
+            fwd = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+            bwd = jnp.concatenate([p[:, :1], p[:, :-1]], axis=1)
+            col = jnp.arange(p.shape[1])[None, :]
+            right = jnp.where(col == w - 1, bwd, fwd)
+            fwd = jnp.concatenate([p[1:, :], p[-1:, :]], axis=0)
+            bwd = jnp.concatenate([p[:1, :], p[:-1, :]], axis=0)
+            row = jnp.arange(p.shape[0])[:, None]
+            down = jnp.where(row == h - 1, bwd, fwd)
         return jnp.abs(p - right) + jnp.abs(p - down)
 
     mul0 = 0.918416534734
@@ -111,7 +125,7 @@ def diff_precompute(p0: jax.Array, p1: jax.Array) -> jax.Array:
     return jnp.minimum(out, cutoff)
 
 
-def mask(mask_xyb0: jax.Array, mask_xyb1: jax.Array):
+def mask(mask_xyb0: jax.Array, mask_xyb1: jax.Array, valid_hw=None):
     """(3, H, W) activity images (only X, Y used) -> (mask, mask_dc), each
     (3, H, W)."""
     r0 = 2.3770330432
@@ -122,12 +136,12 @@ def mask(mask_xyb0: jax.Array, mask_xyb1: jax.Array):
     muls1 = 0.267138152891
     normalizer = 1.0 / (muls0 + muls1)
 
-    diff_x = diff_precompute(mask_xyb0[0], mask_xyb1[0])
-    s0 = blur(diff_x, r2, border_ratio)
+    diff_x = diff_precompute(mask_xyb0[0], mask_xyb1[0], valid_hw)
+    s0 = blur(diff_x, r2, border_ratio, valid_hw)
 
-    diff_y = diff_precompute(mask_xyb0[1], mask_xyb1[1])
-    s1 = normalizer * (muls0 * blur(diff_y, r0, border_ratio)
-                       + muls1 * blur(diff_y, r1, border_ratio))
+    diff_y = diff_precompute(mask_xyb0[1], mask_xyb1[1], valid_hw)
+    s1 = normalizer * (muls0 * blur(diff_y, r0, border_ratio, valid_hw)
+                       + muls1 * blur(diff_y, r1, border_ratio, valid_hw))
 
     mul0 = 16.6963293877
     mul1 = 2.1364621982
@@ -149,7 +163,7 @@ def mask(mask_xyb0: jax.Array, mask_xyb1: jax.Array):
     return out_mask, out_mask_dc
 
 
-def mask_psycho_image(pi0, pi1):
+def mask_psycho_image(pi0, pi1, valid_hw=None):
     """Combine uhf+hf into the activity image and mask it
     (reference butteraugli.cc:753-782)."""
     muls = (0.0, 1.64178305129, 0.831081703362, 3.23680933546)
@@ -163,4 +177,4 @@ def mask_psycho_image(pi0, pi1):
         muls[2] * pi1.uhf[1] + muls[3] * pi1.hf[1],
         jnp.zeros_like(pi1.hf[0]),
     ])
-    return mask(act0, act1)
+    return mask(act0, act1, valid_hw)

@@ -171,10 +171,11 @@ def opsin_absorbance(rgb: jax.Array) -> jax.Array:
             + m[:, 3][:, None, None])
 
 
-def opsin_dynamics_image(rgb: jax.Array) -> jax.Array:
+def opsin_dynamics_image(rgb: jax.Array, valid_hw=None) -> jax.Array:
     """(3, H, W) linear RGB -> (3, H, W) XYB, with sensitivity adapted to
-    the locally blurred intensity."""
-    blurred = blur(rgb, 1.2, 0.0)
+    the locally blurred intensity. valid_hw: optional traced (h, w) when
+    the canvas is a padded size bucket (see ops/blur.py)."""
+    blurred = blur(rgb, 1.2, 0.0, valid_hw)
     pre = opsin_absorbance(blurred)
     sensitivity = gamma_fast(pre) / pre
     cur = opsin_absorbance(rgb) * sensitivity

@@ -251,10 +251,18 @@ def process_batch(inputs: Sequence, quality: float = 95.0,
     batcher = make_batcher(timeout=timeout)
     max_workers = int(os.environ.get("GUETZLI_TPU_BATCH_WORKERS", "16"))
     slots = threading.Semaphore(max_workers)
+    # dp: with a global ('dp', 'sp') mesh set, image i runs on submesh
+    # i % dp — independent images on disjoint device groups (the on-mesh
+    # analog of the reference harness's `xargs -P` fan-out).
+    from guetzli_tpu.parallel import runtime as prt
+    gmesh = prt.global_mesh()
+    submeshes = prt.sp_submeshes(gmesh) if gmesh is not None else None
 
     def run(i):
         slots.acquire()
         batcher.register()
+        if submeshes is not None:
+            prt.set_worker_mesh(submeshes[i % len(submeshes)])
         try:
             p = Params(**(params.__dict__ if params is not None else {}))
             p.butteraugli_target = butteraugli_score_for_quality(quality)

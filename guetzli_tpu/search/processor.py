@@ -46,6 +46,25 @@ _PARANOID = bool(_os.environ.get("GUETZLI_TPU_PARANOID"))
 # Legacy round-1 refinement (one host-driven device call per iteration)
 # for A/B debugging; the default is the on-device chunked engine.
 _HOST_REFINE = bool(_os.environ.get("GUETZLI_TPU_HOST_REFINE"))
+# Phase timing to stderr (perf diagnosis): GUETZLI_TPU_TIMING=1
+_TIMING = bool(_os.environ.get("GUETZLI_TPU_TIMING"))
+
+
+class _Phase:
+    def __init__(self, name):
+        self.name = name
+
+    def __enter__(self):
+        import time as _t
+        self.t0 = _t.time()
+        return self
+
+    def __exit__(self, *a):
+        import time as _t
+        import sys as _sys
+        if _TIMING:
+            _sys.stderr.write(
+                f"[timing] {self.name}: {_t.time() - self.t0:.3f}s\n")
 
 
 def _log(stats, msg):
@@ -236,6 +255,7 @@ class Processor:
             zargs = self._zeroing_420_chroma(img, cur, orig, nbx, nby)
         else:
             raise ValueError(f"unsupported comp_mask {comp_mask}")
+        _tz = _Phase("zeroing_pass"); _tz.__enter__()
         if getattr(self, "batcher", None) is not None:
             idx_seq, err_seq, counts = self.batcher.submit("zeroing", {
                 "comp_mask": comp_mask, "args": zargs,
@@ -252,6 +272,7 @@ class Processor:
                 n_valid=nvalid_blocks,
                 new_model=self.params.new_zeroing_model)
         self.comparator.finish_block_comparisons()
+        _tz.__exit__()
         cand_idx = np.asarray(idx_seq)                      # (N, steps)
         cand_err = np.asarray(err_seq)
         cand_count = np.asarray(counts)                     # (N,)
@@ -547,22 +568,63 @@ class Processor:
         cand_err = np.ascontiguousarray(cand_err, dtype=np.float32)
         cand_count = np.ascontiguousarray(cand_count, dtype=np.int32)
         factors = tuple(c.factor_x for c in img.components)
-        cfg = rd.RefineCfg(num_blocks, steps, img.width, img.height,
-                           factors, int(factor), int(comp_mask))
         prec = rd.precious_mask(cand_idx, cand_count, orig,
                                 precious_limit)
         init192 = np.ascontiguousarray(
             state.reshape(num_blocks, 192), dtype=np.int32)
-        init_at_cand = init192[np.arange(num_blocks)[:, None], cand_idx]
+
+        from guetzli_tpu.metric.comparator import _BUCKETS
+        bucketed = _BUCKETS
+        if bucketed:
+            # Re-lay block-level arrays onto the comparator's bucket
+            # canvas grid (pad rows have no candidates / zero coeffs), so
+            # the chunk executable is keyed by the bucket, not the size.
+            cmp_ = self.comparator
+            nbyb = cmp_.hb // (8 * factor)
+            nbxb = cmp_.wb // (8 * factor)
+            nb_eff = nbyb * nbxb
+
+            def regrid(a, fill=0):
+                out = np.full((nbyb, nbxb) + a.shape[1:], fill,
+                              dtype=a.dtype)
+                out[:nby, :nbx] = a.reshape((nby, nbx) + a.shape[1:])
+                return out.reshape((nb_eff,) + a.shape[1:])
+
+            cand_idx = regrid(cand_idx)
+            cand_err = regrid(cand_err)
+            cand_count = regrid(cand_count)
+            prec = regrid(prec)
+            init192 = regrid(init192)
+            row_valid = regrid(
+                np.ones(num_blocks, dtype=bool), fill=False)
+            canvas_w, canvas_h = cmp_.wb, cmp_.hb
+        else:
+            nb_eff = num_blocks
+            row_valid = np.ones(num_blocks, dtype=bool)
+            canvas_w, canvas_h = img.width, img.height
+
+        cfg = rd.RefineCfg(nb_eff, steps, canvas_w, canvas_h,
+                           factors, int(factor), int(comp_mask),
+                           bucketed=bucketed)
+        zero_order, cand_zpos = rd.zeroing_order_tables(
+            cand_idx, cand_count, prec)
+        init_at_cand = init192[np.arange(nb_eff)[:, None], cand_idx]
         quant_zz = np.stack([quant[c][NATURAL_ORDER[1:]]
                              for c in range(3)]).astype(np.int32)
+
+        def frozen_grid(c):
+            arr = np.asarray(img.components[c].coeffs, dtype=np.int32)
+            if bucketed:
+                arr = self.comparator.pad_comp_grid(
+                    arr, img.components[c].factor_x)
+            return jnp.asarray(arr)
+
         if comp_mask == 7:
             frozen = ()
         elif comp_mask == 1:
-            frozen = (jnp.asarray(img.components[1].coeffs, jnp.int32),
-                      jnp.asarray(img.components[2].coeffs, jnp.int32))
+            frozen = (frozen_grid(1), frozen_grid(2))
         else:
-            frozen = (jnp.asarray(img.components[0].coeffs, jnp.int32),)
+            frozen = (frozen_grid(0),)
         target = float(self.comparator.target_distance)
 
         def entropy_consts(state3):
@@ -606,15 +668,40 @@ class Processor:
             block_limit=jnp.float32(self.comparator.block_error_limit()),
             stop_threshold=jnp.float32(np.inf),
             pi0=self.comparator._pi0,
-            frozen_coeffs=frozen)
+            frozen_coeffs=frozen,
+            valid_h=jnp.int32(img.height),
+            valid_w=jnp.int32(img.width),
+            row_valid=jnp.asarray(row_valid),
+            zero_order=jnp.asarray(zero_order),
+            cand_zpos=jnp.asarray(cand_zpos))
 
-        carry = rd.init_carry(num_blocks,
-                              float(self.comparator.distance))
+        # sp sharding: pi0 is row-sharded by the comparator; the block
+        # bookkeeping replicates on the same submesh so the whole chunk
+        # compiles SPMD (GSPMD partitions the diffmap, replicates the
+        # small sort/bisect compute).
+        sp_mesh = getattr(self.comparator, "sp_mesh", None)
+        if sp_mesh is not None:
+            from guetzli_tpu.parallel import runtime as prt
+            consts = consts._replace(**{
+                f: prt.replicate_tree(getattr(consts, f), sp_mesh)
+                for f in consts._fields if f != "pi0"})
+
+        carry = rd.init_carry(nb_eff, float(self.comparator.distance))
+        if sp_mesh is not None:
+            from guetzli_tpu.parallel import runtime as prt
+            carry = prt.replicate_tree(carry, sp_mesh)
         last_best_serialized = np.inf
 
+        def unpad_state(st):
+            """(nb_eff, 192) engine state -> (num_blocks, 3, 64) true."""
+            if bucketed:
+                st = st.reshape(nbyb, nbxb, 192)[:nby, :nbx]
+            return st.reshape(num_blocks, 3, 64)
+
         def maybe_out(n_np, dist):
-            st3 = rd.state_from_n_np(init192, cand_idx, cand_count, prec,
-                                     n_np).reshape(num_blocks, 3, 64)
+          with _Phase("refine_serialize"):
+            st3 = unpad_state(rd.state_from_n_np(
+                init192, cand_idx, cand_count, prec, n_np))
             for c in mask_comps:
                 img.components[c].coeffs = np.ascontiguousarray(
                     st3[:, c, :].reshape(nby, nbx, 64))
@@ -631,22 +718,29 @@ class Processor:
             carry = carry._replace(direction=jnp.int32(direction),
                                    phase_done=jnp.bool_(False))
             while True:
-                state3 = rd.state_from_n_np(
-                    init192, cand_idx, cand_count, prec,
-                    np.asarray(carry.n)).reshape(num_blocks, 3, 64)
-                depth_t, pad_bits, frozen_fudged, header_dc = \
-                    entropy_consts(state3)
+                with _Phase("refine_boundary"):
+                    state3 = unpad_state(rd.state_from_n_np(
+                        init192, cand_idx, cand_count, prec,
+                        np.asarray(carry.n)))
+                    depth_t, pad_bits, frozen_fudged, header_dc = \
+                        entropy_consts(state3)
                 stop_thr = (1.01 * len(self.final_output.jpeg_data)
                             if (stop_early and direction == -1)
                             else np.inf)
-                consts = consts._replace(
+                refreshed = dict(
                     depths=jnp.asarray(depth_t),
                     pad_eob_bits=jnp.asarray(pad_bits),
                     frozen_fudged=jnp.int32(frozen_fudged),
                     header_dc=jnp.int32(header_dc),
                     stop_threshold=jnp.float32(stop_thr))
-                carry, logs = rd.refine_chunk(carry, consts, cfg)
-                logs = np.asarray(logs)
+                if sp_mesh is not None:
+                    from guetzli_tpu.parallel import runtime as prt
+                    refreshed = {k: prt.replicate(v, sp_mesh)
+                                 for k, v in refreshed.items()}
+                consts = consts._replace(**refreshed)
+                with _Phase("refine_chunk"):
+                    carry, logs = rd.refine_chunk(carry, consts, cfg)
+                    logs = np.asarray(logs)
                 for row in logs:
                     if row[0] <= 0:
                         continue
@@ -940,8 +1034,9 @@ class Processor:
                 if img.components[1].factor_x == 1:
                     img.downsample(self.params.use_silver_screen)
                 jpg = img.save_to_jpeg_data()
-            ok, best_q = self.select_quant_matrix(jpg, downsample != 0,
-                                                  q_in, img)
+            with _Phase("quant_search"):
+                ok, best_q = self.select_quant_matrix(
+                    jpg, downsample != 0, q_in, img)
             if not ok:
                 best_q = np.ones((3, 64), dtype=np.int32)
             img.copy_from_jpeg_data(jpg)

@@ -59,7 +59,12 @@ SCORE_LARGE = 1e30
 
 
 class RefineCfg(NamedTuple):
-    """Static (compile-time) configuration of a refinement pass."""
+    """Static (compile-time) configuration of a refinement pass.
+
+    With bucketed=True, width/height are the padded canvas dims and
+    n_blocks the canvas block count; the true image dims live in
+    RefineConsts.valid_h/valid_w (traced), so one compiled chunk serves
+    every image size in the bucket."""
     n_blocks: int
     steps: int
     width: int
@@ -68,6 +73,7 @@ class RefineCfg(NamedTuple):
     wfactor: int               # pass block factor (1 or 2)
     comp_mask: int             # 7 (444), 1 (420 luma), 6 (420 chroma)
     k_iters: int = REFINE_K
+    bucketed: bool = False
 
 
 class RefineConsts(NamedTuple):
@@ -90,6 +96,12 @@ class RefineConsts(NamedTuple):
     stop_threshold: jax.Array  # () f32 stop-early size bound (+inf if off)
     pi0: object              # PsychoImage of the original
     frozen_coeffs: Tuple[jax.Array, ...]  # unmasked comps' coeff grids
+    valid_h: jax.Array       # () i32 true image height (bucketed mode)
+    valid_w: jax.Array       # () i32 true image width
+    row_valid: jax.Array     # (N,) bool: real image blocks (pad rows off)
+    zero_order: jax.Array    # (N, 3, 63) i32: candidate index that zeroes
+    #                          AC zigzag position p+1 (steps+1 if never)
+    cand_zpos: jax.Array     # (N, steps) i32 zigzag position (1..63)
 
 
 class RefineCarry(NamedTuple):
@@ -167,22 +179,25 @@ def _live_comps(comp_mask: int):
 
 def _all_comp_bits(cur192, consts: RefineConsts, comp_mask: int):
     """(N, 3) i32 per-comp bits; unmasked comps stay zero (their frozen
-    cost lives in consts.frozen_fudged)."""
+    cost lives in consts.frozen_fudged); bucket-pad block rows count 0
+    (they are not part of the scan)."""
     cols = []
     for c in range(3):
         if comp_mask & (1 << c):
-            cols.append(_comp_bits(cur192, c, consts.quant_zz[c],
-                                   consts.depths[c]))
+            b = _comp_bits(cur192, c, consts.quant_zz[c],
+                           consts.depths[c])
+            cols.append(jnp.where(consts.row_valid, b, 0))
         else:
             cols.append(jnp.zeros(cur192.shape[0], jnp.int32))
     return jnp.stack(cols, axis=1)
 
 
-def _bits_curve(consts: RefineConsts, cfg: RefineCfg):
-    """Per-candidate bit deltas along each block's application order.
-
-    Returns (cumdB3 (N, steps+1, 3) i32 cumulative per-comp deltas,
-    bits0 (3,) i32 total bits of the pass-initial state incl. padding)."""
+def _bits_curve_scan(consts: RefineConsts, cfg: RefineCfg):
+    """Reference implementation of the per-candidate bit-delta curve: a
+    sequential scan recomputing full per-comp bits after each zeroing.
+    Correct but ~40 ms/iteration on TPU (the 256-entry depth gathers
+    inside a 192-step scan dominate); kept as the oracle for
+    _bits_curve's closed form in tests."""
     n = cfg.n_blocks
     iota = jnp.arange(192, dtype=jnp.int32)[None, :]
     bits_init = _all_comp_bits(consts.init192, consts, cfg.comp_mask)
@@ -202,6 +217,80 @@ def _bits_curve(consts: RefineConsts, cfg: RefineCfg):
     cumdb3 = jnp.concatenate(
         [jnp.zeros((n, 1, 3), jnp.int32), cum], axis=1)
     bits0 = jnp.sum(bits_init, axis=0) + consts.pad_eob_bits
+    return cumdb3, bits0
+
+
+def _bits_curve(consts: RefineConsts, cfg: RefineCfg):
+    """Per-candidate bit deltas along each block's application order —
+    closed form, fully parallel over (block, candidate).
+
+    Zeroing the coefficient at zigzag position k changes exactly three
+    things in the block's JPEG scan stream: its own (run, size) symbol
+    disappears, the NEXT nonzero coefficient's run merges across k, and
+    (when k was the last nonzero at position 63) an EOB appears. The
+    state "before candidate j" is characterized without any sequential
+    scan by the pass-constant zeroing-order table o[b, c, p] (the
+    candidate index that zeroes position p): position p is still nonzero
+    before step j iff it was nonzero initially and o[p] > j. prev/next
+    nonzero positions are then masked max/min reductions over the 63
+    positions, broadcast over all candidates at once.
+
+    Returns (cumdB3 (N, steps+1, 3) i32, bits0 (3,) i32)."""
+    n, steps = cfg.n_blocks, cfg.steps
+    bits_init = _all_comp_bits(consts.init192, consts, cfg.comp_mask)
+    bits0 = jnp.sum(bits_init, axis=0) + consts.pad_eob_bits
+
+    j = jnp.arange(steps, dtype=jnp.int32)[None, :, None]   # (1,S,1)
+    p = jnp.arange(1, 64, dtype=jnp.int32)[None, None, :]   # (1,1,63)
+    k = consts.cand_zpos[:, :, None]                        # (N,S,1)
+    cand_c = consts.cand_idx // 64                          # (N,S)
+    base_mask = ((jnp.arange(steps, dtype=jnp.int32)[None, :]
+                  < consts.cand_count[:, None])
+                 & ~consts.prec & consts.row_valid[:, None])
+
+    db_cols = []
+    for c in range(3):
+        if not (cfg.comp_mask & (1 << c)):
+            db_cols.append(jnp.zeros((n, steps), jnp.int32))
+            continue
+        depth_c = consts.depths[c]
+        dz = depth_c[0xF0]
+        d0 = depth_c[0]
+        vz = (consts.init192[:, c * 64 + _NAT_AC]
+              // consts.quant_zz[c][None, :])               # (N,63)
+        nz = vz != 0
+        a = jnp.abs(vz)
+        nbv = jnp.zeros_like(vz)
+        for b in range(13):
+            nbv = nbv + (a >= (1 << b)).astype(vz.dtype)
+        o = consts.zero_order[:, c, :]                      # (N,63)
+
+        alive = (nz[:, None, :] & (o[:, None, :] > j))      # (N,S,63)
+        prev = jnp.max(jnp.where(alive & (p < k), p, 0), axis=2)
+        nxt = jnp.min(jnp.where(alive & (p > k), p, 64), axis=2)
+        nb_k = jnp.max(jnp.where(p == k, nbv[:, None, :], 0), axis=2)
+        nb_n = jnp.max(jnp.where(p == nxt[:, :, None], nbv[:, None, :],
+                                 0), axis=2)
+
+        k2 = consts.cand_zpos                               # (N,S)
+        r1 = k2 - prev - 1
+        rm = nxt - prev - 1          # merged run at next after zeroing
+        r2 = nxt - k2 - 1            # old run at next
+        s_k = ((r1 & 15) << 4) | nb_k
+        removed = jnp.take(depth_c, s_k) + nb_k + (r1 >> 4) * dz
+        s_old = ((r2 & 15) << 4) | nb_n
+        s_new = ((rm & 15) << 4) | nb_n
+        delta_next = (jnp.take(depth_c, s_new) + (rm >> 4) * dz
+                      - jnp.take(depth_c, s_old) - (r2 >> 4) * dz)
+        has_next = nxt < 64
+        delta = jnp.where(has_next, delta_next - removed,
+                          jnp.where(k2 == 63, d0, 0) - removed)
+        db_cols.append(jnp.where(base_mask & (cand_c == c), delta, 0))
+
+    db = jnp.stack(db_cols, axis=2)                         # (N,S,3)
+    cum = jnp.cumsum(db, axis=1)
+    cumdb3 = jnp.concatenate(
+        [jnp.zeros((n, 1, 3), jnp.int32), cum], axis=1)
     return cumdb3, bits0
 
 
@@ -272,8 +361,11 @@ def _compare_state(state192, consts: RefineConsts, cfg: RefineCfg):
         coeffs = (consts.frozen_coeffs[0], u, v)      # y frozen
     else:
         raise ValueError(f"unsupported comp_mask {cfg.comp_mask}")
+    valid_hw = ((consts.valid_h, consts.valid_w) if cfg.bucketed
+                else None)
     _, packed = _compare_coeffs_impl(
-        coeffs, consts.pi0, consts.wtarget, w, h, cfg.factors, f)
+        coeffs, consts.pi0, consts.wtarget, w, h, cfg.factors, f,
+        valid_hw=valid_hw)
     dist = packed[0]
     wg = packed[1:].reshape(8, cfg.n_blocks)
     return dist, wg
@@ -456,6 +548,25 @@ def state_from_n_np(init192: np.ndarray, cand_idx: np.ndarray,
     b, tt = np.nonzero(zero)
     st[b, cand_idx[b, tt]] = 0
     return st
+
+
+def zeroing_order_tables(cand_idx: np.ndarray, cand_count: np.ndarray,
+                         prec: np.ndarray):
+    """Pass constants for the closed-form bit-delta curve:
+    o (N, 3, 63) i32 — the candidate index that zeroes AC zigzag position
+    p+1 of comp c (steps+1 when never: precious / not a candidate);
+    kz (N, steps) i32 — each candidate's zigzag position."""
+    nb, steps = cand_idx.shape
+    zigpos = np.empty(64, np.int32)
+    zigpos[NATURAL_ORDER] = np.arange(64)
+    kz = zigpos[cand_idx % 64].astype(np.int32)
+    o = np.full((nb, 3, 63), steps + 1, dtype=np.int32)
+    valid = ((np.arange(steps)[None, :] < cand_count[:, None]) & ~prec)
+    b, t = np.nonzero(valid)
+    c = cand_idx[b, t] // 64
+    pos = kz[b, t]
+    o[b, c, pos - 1] = t
+    return o, kz
 
 
 def precious_mask(cand_idx: np.ndarray, cand_count: np.ndarray,

@@ -54,6 +54,8 @@ def _host_fudged_bits(state, quant, depths):
 def _consts(quant, state, cand_idx, cand_count, prec, depths):
     n, steps = cand_idx.shape
     init192 = state.reshape(n, 192).astype(np.int32)
+    zero_order, cand_zpos = rd.zeroing_order_tables(cand_idx, cand_count,
+                                                    prec)
     return rd.RefineConsts(
         cand_idx=jnp.asarray(cand_idx),
         cand_err=jnp.zeros((n, steps), jnp.float32),
@@ -72,7 +74,11 @@ def _consts(quant, state, cand_idx, cand_count, prec, depths):
         target=jnp.float32(1.0), wtarget=jnp.float32(1.0),
         block_limit=jnp.float32(1.0),
         stop_threshold=jnp.float32(np.inf),
-        pi0=None, frozen_coeffs=())
+        pi0=None, frozen_coeffs=(),
+        valid_h=jnp.int32(8), valid_w=jnp.int32(8 * n),
+        row_valid=jnp.ones(n, bool),
+        zero_order=jnp.asarray(zero_order),
+        cand_zpos=jnp.asarray(cand_zpos))
 
 
 def _cfg(n, steps):
@@ -112,6 +118,21 @@ def test_bits_model_matches_host_histograms(rng):
         got = int(rd._est_size(
             rd._bits_at(cumdb3, bits0, jnp.asarray(nvec), n), consts))
         assert got == want, (trial, got, want)
+
+
+def test_closed_form_curve_matches_scan(rng):
+    """The closed-form bit-delta curve (one symbol removed, next run
+    merged, EOB edge) must equal the sequential full-recompute scan for
+    every (block, candidate) prefix."""
+    quant, state, cand_idx, cand_count, prec = _make_problem(rng)
+    n, steps = cand_idx.shape
+    depths = (rng.integers(1, 17, (3, 256))).astype(np.int32)
+    consts = _consts(quant, state, cand_idx, cand_count, prec, depths)
+    cfg = _cfg(n, steps)
+    cum_fast, bits0_fast = rd._bits_curve(consts, cfg)
+    cum_scan, bits0_scan = rd._bits_curve_scan(consts, cfg)
+    assert np.array_equal(np.asarray(bits0_fast), np.asarray(bits0_scan))
+    assert np.array_equal(np.asarray(cum_fast), np.asarray(cum_scan))
 
 
 def test_state_scatter_matches_host(rng):
