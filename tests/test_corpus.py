@@ -1,0 +1,141 @@
+"""Corpus-scale golden contract (reference tests/golden_test.sh semantics).
+
+The reference encodes a 30-PNG corpus plus cjpeg 444/420/progressive
+variants and sha256-checks the outputs. Byte-identity doesn't transfer
+(f32 device metric vs doubles), so the carried-over contract is: for
+EVERY corpus input, the oracle-measured butteraugli distance of our
+output is at/below the quality target (or the reference's achieved
+distance when the target is infeasible) and the size is within 2% of the
+reference encoder's on the same input.
+
+All inputs are encoded in ONE batch-mode call (the deployment shape).
+Set GUETZLI_TPU_SKIP_CORPUS=1 to skip locally (several minutes of CPU).
+"""
+
+import io
+import os
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
+                       / "tools"))
+from make_corpus import build_corpus  # noqa: E402
+
+Q95_TARGET = 0.9718234
+
+pytestmark = pytest.mark.skipif(
+    bool(os.environ.get("GUETZLI_TPU_SKIP_CORPUS")),
+    reason="GUETZLI_TPU_SKIP_CORPUS set")
+
+
+def _oracle_encode(oracle, inp, quality, tmp, tag):
+    out = tmp / f"ref_{tag}.jpg"
+    if isinstance(inp, bytes):
+        src = tmp / f"in_{tag}.jpg"
+        src.write_bytes(inp)
+        r = subprocess.run([oracle, "encode_jpg", str(src), str(quality),
+                            str(out)], capture_output=True, text=True,
+                           timeout=900)
+    else:
+        src = tmp / f"in_{tag}.rgb"
+        inp.astype(np.uint8).tofile(src)
+        h, w = inp.shape[:2]
+        r = subprocess.run([oracle, "encode_rgb", str(w), str(h),
+                            str(src), str(quality), str(out)],
+                           capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-300:]
+    return int(r.stdout.split("size=")[1]), out
+
+
+def _oracle_distance(oracle, rgb0, rgb1, tmp, tag):
+    h, w = rgb0.shape[:2]
+    p0, p1 = tmp / f"a_{tag}.rgb", tmp / f"b_{tag}.rgb"
+    rgb0.astype(np.uint8).tofile(p0)
+    rgb1.astype(np.uint8).tofile(p1)
+    r = subprocess.run([oracle, "ba", str(w), str(h), str(p0), str(p1)],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-300:]
+    return float(r.stdout.split("distance=")[1])
+
+
+def _decode(b):
+    return np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+
+
+def _jpeg_variant(rgb, **kw):
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, "JPEG", quality=100, **kw)
+    return buf.getvalue()
+
+
+def test_corpus_contract(oracle, bees_rgb, tmp_path):
+    from guetzli_tpu.parallel.batch_mode import process_batch
+
+    corpus = build_corpus(bees_rgb)
+    inputs = [rgb for _, rgb in corpus]
+    names = [name for name, _ in corpus]
+    # cjpeg-style variants on a subset: 444 / 420 / progressive q100
+    for i in (0, 5, 11):
+        inputs.append(_jpeg_variant(corpus[i][1], subsampling=0))
+        names.append(corpus[i][0] + "_j444")
+        inputs.append(_jpeg_variant(corpus[i][1], subsampling=2))
+        names.append(corpus[i][0] + "_j420")
+        inputs.append(_jpeg_variant(corpus[i][1], subsampling=0,
+                                    progressive=True))
+        names.append(corpus[i][0] + "_jprog")
+
+    outs = process_batch(inputs, quality=95)
+
+    failures = []
+    for name, inp, out in zip(names, inputs, outs):
+        assert out is not None and len(out) > 0, name
+        ref_size, _ = _oracle_encode(oracle, inp, 95, tmp_path, name)
+        src_rgb = _decode(inp) if isinstance(inp, bytes) else inp
+        if min(src_rgb.shape[:2]) < 32:
+            continue   # butteraugli skipped: pass-through contract only
+        d = _oracle_distance(oracle, src_rgb, _decode(out), tmp_path,
+                             name)
+        if d > Q95_TARGET * 1.0005:
+            failures.append(f"{name}: distance {d:.4f} > target")
+        if len(out) > ref_size * 1.02:
+            failures.append(
+                f"{name}: size {len(out)} > ref {ref_size} * 1.02")
+    assert not failures, "\n".join(failures)
+
+
+def test_corpus_sequential_progressive_identical(bees_rgb):
+    """Progressive and sequential encodings of the same source must give
+    byte-identical output (reference golden_checksums.txt:2,4)."""
+    import guetzli_tpu
+    from guetzli_tpu.config import ProcessStats
+
+    corpus = build_corpus(bees_rgb)
+    rgb = corpus[13][1]   # plasma 67x93 (odd dims)
+    seq = _jpeg_variant(rgb, subsampling=0)
+    prog = _jpeg_variant(rgb, subsampling=0, progressive=True)
+    a = guetzli_tpu.process(seq, quality=95, stats=ProcessStats())
+    b = guetzli_tpu.process(prog, quality=95, stats=ProcessStats())
+    assert a == b
+
+
+@pytest.mark.skipif(not os.environ.get("GUETZLI_TPU_SLOW"),
+                    reason="1 MPix e2e: set GUETZLI_TPU_SLOW=1 (minutes "
+                           "on the CPU backend; seconds on TPU)")
+def test_one_megapixel_e2e(oracle, bees_rgb, tmp_path):
+    """>=1 MPix end-to-end: tiled mosaic of the photo, full contract."""
+    import guetzli_tpu
+    from guetzli_tpu.config import ProcessStats
+
+    tile = bees_rgb                       # 258 x 448
+    big = np.concatenate([np.concatenate([tile] * 3, axis=1)] * 4, axis=0)
+    big = np.ascontiguousarray(big[:1024, :1024])        # 1.05 MPix
+    out = guetzli_tpu.process(big, quality=95, stats=ProcessStats())
+    d = _oracle_distance(oracle, big, _decode(out), tmp_path, "1mpix")
+    assert d <= Q95_TARGET * 1.0005, d
+    ref_size, _ = _oracle_encode(oracle, big, 95, tmp_path, "1mpix")
+    assert len(out) <= ref_size * 1.02, (len(out), ref_size)
