@@ -215,6 +215,7 @@ class Processor:
         comps = img.components
         quant = np.stack([c.quant for c in comps])          # (3, 64)
 
+        _tp = _Phase("sfm_prep"); _tp.__enter__()
         cur = np.zeros((num_blocks, 3, 64), dtype=np.int32)
         orig = np.zeros((num_blocks, 3, 64), dtype=np.int32)
         for c in mask_comps:
@@ -225,8 +226,10 @@ class Processor:
                 jc.height_in_blocks, jc.width_in_blocks,
                 64)[:nby, :nbx].reshape(num_blocks, 64)
 
+        _tp.__exit__()
         # --- per-block zeroing order (one batched device pass) ---
-        self.comparator.start_block_comparisons()
+        with _Phase("zeroing_prep_masks"):
+            self.comparator.start_block_comparisons()
         lookahead = self.params.zeroing_greedy_lookahead
         limit = self.comparator.block_error_limit()
         in_mask = np.repeat([(comp_mask >> c) & 1 for c in range(3)],
@@ -384,6 +387,7 @@ class Processor:
                         - perblock[ci][touched].sum(axis=0))
                     perblock[ci][touched] = pb_new
 
+        _tb = _Phase("sfm_basesize"); _tb.__enter__()
         inc_histos, inc_perblock = make_incremental(state)
         base_size = jpg_header_size + dc_size + self._entropy_size(inc_histos)
         prev_size = base_size
@@ -392,6 +396,7 @@ class Processor:
              f"candidates={int(cand_count.sum())} steps={steps} "
              f"base={base_size}")
 
+        _tb.__exit__()
         # precious guard precomputation (processor.cc:722-731)
         hf_sel = np.array([i for i in range(64)
                            if not ((i & 7) < 3 and i < 24) and i >= 3])
@@ -650,6 +655,7 @@ class Processor:
             return depth_t, pad_bits, frozen_fudged, \
                 jpg_header_size + dc_size + ac_header
 
+        _tc = _Phase("engine_setup"); _tc.__enter__()
         consts = rd.RefineConsts(
             cand_idx=jnp.asarray(cand_idx),
             cand_err=jnp.asarray(cand_err),
@@ -686,6 +692,7 @@ class Processor:
                 f: prt.replicate_tree(getattr(consts, f), sp_mesh)
                 for f in consts._fields if f != "pi0"})
 
+        _tc.__exit__()
         carry = rd.init_carry(nb_eff, float(self.comparator.distance))
         if sp_mesh is not None:
             from guetzli_tpu.parallel import runtime as prt
@@ -714,14 +721,14 @@ class Processor:
                 self.final_output.score = score
             return len(encoded)
 
+        cur_n = np.zeros(nb_eff, dtype=np.int32)
         for direction in (1, -1):
             carry = carry._replace(direction=jnp.int32(direction),
                                    phase_done=jnp.bool_(False))
             while True:
                 with _Phase("refine_boundary"):
                     state3 = unpad_state(rd.state_from_n_np(
-                        init192, cand_idx, cand_count, prec,
-                        np.asarray(carry.n)))
+                        init192, cand_idx, cand_count, prec, cur_n))
                     depth_t, pad_bits, frozen_fudged, header_dc = \
                         entropy_consts(state3)
                 stop_thr = (1.01 * len(self.final_output.jpeg_data)
@@ -739,8 +746,9 @@ class Processor:
                                  for k, v in refreshed.items()}
                 consts = consts._replace(**refreshed)
                 with _Phase("refine_chunk"):
-                    carry, logs = rd.refine_chunk(carry, consts, cfg)
-                    logs = np.asarray(logs)
+                    carry, pulled = rd.refine_chunk(carry, consts, cfg)
+                    logs, summary, cur_n = rd.unpack_chunk_result(
+                        pulled, cfg.k_iters)
                 for row in logs:
                     if row[0] <= 0:
                         continue
@@ -754,18 +762,15 @@ class Processor:
                          f"{'up' if row[1] > 0 else 'down'} "
                          f"Coeffs[{int(row[2])}] ValThres[{row[3]:.4f}] "
                          f"Est[{int(row[4])}] D[{row[5]:.4f}]")
-                done = bool(np.asarray(carry.phase_done))
-                best_score = float(np.asarray(carry.best_score))
-                if bool(np.asarray(carry.best_flag)) and \
-                        best_score < last_best_serialized:
+                if summary["best_flag"] and \
+                        summary["best_score"] < last_best_serialized:
                     maybe_out(np.asarray(carry.best_n),
-                              float(np.asarray(carry.best_dist)))
-                    last_best_serialized = best_score
-                if done:
-                    maybe_out(np.asarray(carry.n),
-                              float(np.asarray(carry.dist)))
+                              summary["best_dist"])
+                    last_best_serialized = summary["best_score"]
+                if summary["phase_done"]:
+                    maybe_out(cur_n, summary["dist"])
                     break
-        self.comparator.distance = float(np.asarray(carry.dist))
+        self.comparator.distance = summary["dist"]
 
     # --- 420 zeroing-pass data assembly -------------------------------
     def _zeroing_420_luma(self, img, cur, orig, nbx, nby):
@@ -1005,7 +1010,8 @@ class Processor:
         else:
             raise ValueError("unsupported sampling factors")
 
-        encoded = self.output_jpeg(jpg_in)
+        with _Phase("output_initial"):
+            encoded = self.output_jpeg(jpg_in)
         out.score = -1
         if comparator is None:
             # image too small for butteraugli: pass through
@@ -1014,12 +1020,13 @@ class Processor:
             return True
 
         import copy
-        jpg = copy.deepcopy(jpg_in)
-        q_in = remove_original_quantization(jpg)
-        img = OutputImage(jpg.width, jpg.height)
-        img.copy_from_jpeg_data(jpg)
-        comparator.compare(img)
-        self.maybe_output(encoded)
+        with _Phase("initial_compare"):
+            jpg = copy.deepcopy(jpg_in)
+            q_in = remove_original_quantization(jpg)
+            img = OutputImage(jpg.width, jpg.height)
+            img.copy_from_jpeg_data(jpg)
+            comparator.compare(img)
+            self.maybe_output(encoded)
 
         try_420 = 1 if (input_is_420 or params.force_420
                         or (params.try_420 and not is_grayscale(jpg_in))
@@ -1042,7 +1049,8 @@ class Processor:
             img.copy_from_jpeg_data(jpg)
             img.apply_global_quantization(best_q)
             if not downsample:
-                self.select_frequency_masking(jpg, img, 7, 1.0, False)
+                with _Phase("sfm_total"):
+                    self.select_frequency_masking(jpg, img, 7, 1.0, False)
             else:
                 ymul = 1.0 if len(jpg.components) == 1 else 0.97
                 self.select_frequency_masking(jpg, img, 1, ymul, False)
@@ -1070,7 +1078,8 @@ def process_rgb(params: Params, stats: ProcessStats,
     """PNG/RGB-input entry (reference Process, processor.cc:926-958)."""
     from guetzli_tpu.jpeg.encoder import encode_rgb_to_jpeg_data
     h, w = rgb.shape[:2]
-    jpg = encode_rgb_to_jpeg_data(rgb)
+    with _Phase("bootstrap_encode"):
+        jpg = encode_rgb_to_jpeg_data(rgb)
     return _run(params, stats, jpg, rgb, batcher=batcher)
 
 
@@ -1079,9 +1088,10 @@ def _run(params: Params, stats: ProcessStats, jpg: JPEGData,
     h, w = jpg.height, jpg.width
     comparator = None
     if w >= 32 and h >= 32:
-        comparator = ButteraugliComparatorTPU(
-            rgb, params.butteraugli_target * params.distance_margin,
-            stats, batcher=batcher)
+        with _Phase("comparator_init"):
+            comparator = ButteraugliComparatorTPU(
+                rgb, params.butteraugli_target * params.distance_margin,
+                stats, batcher=batcher)
     out = GuetzliOutput()
     Processor(batcher=batcher).process_jpeg_data(params, jpg, comparator,
                                                  out, stats)

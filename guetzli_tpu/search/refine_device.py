@@ -530,7 +530,34 @@ def refine_chunk(carry: RefineCarry, consts: RefineConsts,
 
     carry, logs, _ = jax.lax.while_loop(
         cond, body, (carry, logs0, jnp.int32(0)))
-    return carry, logs
+    # Everything the host needs after a chunk, packed into ONE array so
+    # the chunk costs exactly one device->host round trip (each separate
+    # np.asarray pays the full link latency; 4 scalar pulls per chunk
+    # measured ~1.5 s over a whole encode on the axon tunnel).
+    summary = jnp.stack([
+        carry.phase_done.astype(jnp.float32),
+        carry.stopped_early.astype(jnp.float32),
+        carry.best_flag.astype(jnp.float32),
+        carry.best_score, carry.best_dist, carry.dist,
+        carry.iters_up.astype(jnp.float32),
+        carry.iters_down.astype(jnp.float32)])
+    pulled = jnp.concatenate([logs.reshape(-1), summary,
+                              carry.n.astype(jnp.float32)])
+    return carry, pulled
+
+
+def unpack_chunk_result(pulled: np.ndarray, k_iters: int):
+    """Host-side split of refine_chunk's packed result: (logs (K, 8),
+    summary dict, n (N,) int32)."""
+    buf = np.asarray(pulled)
+    logs = buf[:k_iters * 8].reshape(k_iters, 8)
+    s = buf[k_iters * 8:k_iters * 8 + 8]
+    summary = {"phase_done": bool(s[0]), "stopped_early": bool(s[1]),
+               "best_flag": bool(s[2]), "best_score": float(s[3]),
+               "best_dist": float(s[4]), "dist": float(s[5]),
+               "iters_up": int(s[6]), "iters_down": int(s[7])}
+    n = buf[k_iters * 8 + 8:].astype(np.int32)
+    return logs, summary, n
 
 
 # ---------------------------------------------------------------------------

@@ -17,7 +17,7 @@ def _plasma(rng, h, w, octaves=4):
     acc = np.zeros((h, w, 3))
     for o in range(octaves):
         s = 2 ** o
-        small = rng.random((max(2, h // (4 * s)), max(2, w // (4 * s)), 3))
+        small = rng.random((-(-h // (4 * s)) + 1, -(-w // (4 * s)) + 1, 3))
         # bilinear-ish upscale via repeat + box smoothing
         up = np.kron(small, np.ones((4 * s, 4 * s, 1)))[:h, :w]
         k = 2 * s + 1
