@@ -15,6 +15,9 @@ import time
 import numpy as np
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
+import sys
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))  # script lives in tools/
 
 
 def main():
