@@ -395,6 +395,16 @@ class ButteraugliComparatorTPU(Comparator):
 
         Sets self.distance/self._distmap and returns the block-error weight
         grids as (2, 4, nby_w, nbx_w): [direction(+1,-1), rblock-1]."""
+        return self.compare_coeffs_async(coeff_list, factors, wfactor,
+                                         target_mul)()
+
+    def compare_coeffs_async(self, coeff_list, factors, wfactor: int,
+                             target_mul: float):
+        """Dispatches the fused compare and returns a finalizer; the
+        device executes while the caller does host work (e.g. the quant
+        search's serialization). Calling the finalizer blocks on the one
+        packed pull, sets distance/distmap, and returns the weight
+        grids."""
         if _BUCKETS:
             padded = [self.pad_comp_grid(np.asarray(c), f)
                       for c, f in zip(coeff_list, factors)]
@@ -415,18 +425,29 @@ class ButteraugliComparatorTPU(Comparator):
                 jnp.float32(self.target_distance * target_mul),
                 jnp.int32(self.height), jnp.int32(self.width),
                 self.wb, self.hb, tuple(factors), int(wfactor))
-            self._distmap = dmap
-            host = np.asarray(packed)
-            self.distance = float(host[0])
-            if self.stats is not None and self.stats.debug:
-                from guetzli_tpu.config import print_debug
-                print_debug(self.stats, f" BA D[{self.distance:.4f}]\n")
-            bwc = self.wb // (8 * wfactor)
-            bhc = self.hb // (8 * wfactor)
-            bw = -(-self.width // (8 * wfactor))
-            bh = -(-self.height // (8 * wfactor))
-            return host[1:].reshape(8, bhc, bwc)[:, :bh, :bw].reshape(
-                2, 4, bh, bw)
+
+            def finalize():
+                self._distmap = dmap
+                host = np.asarray(packed)
+                self.distance = float(host[0])
+                if self.stats is not None and self.stats.debug:
+                    from guetzli_tpu.config import print_debug
+                    print_debug(self.stats,
+                                f" BA D[{self.distance:.4f}]\n")
+                bwc = self.wb // (8 * wfactor)
+                bhc = self.hb // (8 * wfactor)
+                bw = -(-self.width // (8 * wfactor))
+                bh = -(-self.height // (8 * wfactor))
+                return host[1:].reshape(8, bhc, bwc)[:, :bh, :bw].reshape(
+                    2, 4, bh, bw)
+
+            return finalize
+        return lambda: self._compare_coeffs_sync(coeff_list, factors,
+                                                 wfactor, target_mul)
+
+    def _compare_coeffs_sync(self, coeff_list, factors, wfactor: int,
+                             target_mul: float) -> np.ndarray:
+        """Legacy (unbucketed / batcher) fused compare, blocking."""
         if self.batcher is not None:
             dist, dmap, w = self.batcher.submit("fused", {
                 "coeffs": [np.ascontiguousarray(c) for c in coeff_list],

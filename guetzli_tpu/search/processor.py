@@ -139,6 +139,11 @@ class Processor:
         data = quant_search.QuantData(q=q.copy())
         img.copy_from_jpeg_data(jpg_in)
         img.apply_global_quantization(q)
+        # dispatch the compare first: the device evaluates while the host
+        # serializes (true output size for MaybeOutput)
+        finalize = self.comparator.compare_coeffs_async(
+            [c.coeffs for c in img.components],
+            [c.factor_x for c in img.components], 1, target_mul)
         encoded = self.output_jpeg(img.save_to_jpeg_data())
         self.stats.num_iterations += 1
         if self.stats.debug:
@@ -151,9 +156,7 @@ class Processor:
              f"Iter {self.stats.num_iterations}: {img.frame_type_str()} "
              f"GQ[{quant_search.quant_matrix_heuristic_score(q):5.2f}] "
              f"Out[{len(encoded)}]")
-        self.comparator.compare_coeffs(
-            [c.coeffs for c in img.components],
-            [c.factor_x for c in img.components], 1, target_mul)
+        finalize()
         data.dist_ok = self.comparator.distance_ok(target_mul)
         data.jpg_size = len(encoded)
         self.maybe_output(encoded)
