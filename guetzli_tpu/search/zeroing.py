@@ -253,18 +253,30 @@ def compute_zeroing_order_batch(cur, orig, xyb0, mask3, valid_w, valid_h,
     order = jnp.argsort(scores, axis=1)
     n_valid = jnp.sum(valid, axis=1)
 
-    def one(c, o, nv, x0, m3, w, h):
-        def eval_fn(flat):
-            lin = _tile_linear_rgb_444(flat.reshape(3, 64), w, h)
-            xyb1 = block_diff.opsin_tiles(lin[None])[0]
-            d = block_diff.block_diff_xyb(x0, xyb1)
-            return jnp.sqrt(jnp.maximum(jnp.sum(d * m3), 0.0))
+    if jax.default_backend() == "tpu":
+        # Pallas mega-kernel: the whole greedy loop in one program (the
+        # XLA form below dispatches ~600 ops per greedy step; per-op
+        # overhead made the zeroing pass ~40% of a 1 MPix encode).
+        from guetzli_tpu.search.zeroing_pallas import zeroing_greedy_pallas
+        idx_seq, err_seq = zeroing_greedy_pallas(
+            cur.reshape(-1, 192), order.astype(jnp.int32),
+            n_valid.astype(jnp.int32),
+            xyb0.reshape(-1, 3, 64).astype(jnp.float32),
+            mask3.astype(jnp.float32), valid_w, valid_h, steps,
+            lookahead)
+    else:
+        def one(c, o, nv, x0, m3, w, h):
+            def eval_fn(flat):
+                lin = _tile_linear_rgb_444(flat.reshape(3, 64), w, h)
+                xyb1 = block_diff.opsin_tiles(lin[None])[0]
+                d = block_diff.block_diff_xyb(x0, xyb1)
+                return jnp.sqrt(jnp.maximum(jnp.sum(d * m3), 0.0))
 
-        return _greedy_single(c.reshape(192), o, nv, eval_fn, steps,
-                              lookahead)
+            return _greedy_single(c.reshape(192), o, nv, eval_fn, steps,
+                                  lookahead)
 
-    idx_seq, err_seq = jax.vmap(one)(cur, order, n_valid, xyb0, mask3,
-                                     valid_w, valid_h)
+        idx_seq, err_seq = jax.vmap(one)(cur, order, n_valid, xyb0,
+                                         mask3, valid_w, valid_h)
     err_mono, counts = _postprocess(err_seq, n_valid, steps,
                                     block_error_limit)
     return idx_seq, err_mono, counts
