@@ -614,7 +614,7 @@ class Processor:
         cfg = rd.RefineCfg(nb_eff, steps, canvas_w, canvas_h,
                            factors, int(factor), int(comp_mask),
                            bucketed=bucketed)
-        zero_order, cand_zpos = rd.zeroing_order_tables(
+        zero_order, cand_zpos, zero_order_nat = rd.zeroing_order_tables(
             cand_idx, cand_count, prec)
         init_at_cand = init192[np.arange(nb_eff)[:, None], cand_idx]
         quant_zz = np.stack([quant[c][NATURAL_ORDER[1:]]
@@ -682,7 +682,8 @@ class Processor:
             valid_w=jnp.int32(img.width),
             row_valid=jnp.asarray(row_valid),
             zero_order=jnp.asarray(zero_order),
-            cand_zpos=jnp.asarray(cand_zpos))
+            cand_zpos=jnp.asarray(cand_zpos),
+            zero_order_nat=jnp.asarray(zero_order_nat))
 
         # sp sharding: pi0 is row-sharded by the comparator; the block
         # bookkeeping replicates on the same submesh so the whole chunk

@@ -102,6 +102,8 @@ class RefineConsts(NamedTuple):
     zero_order: jax.Array    # (N, 3, 63) i32: candidate index that zeroes
     #                          AC zigzag position p+1 (steps+1 if never)
     cand_zpos: jax.Array     # (N, steps) i32 zigzag position (1..63)
+    zero_order_nat: jax.Array  # (N, 192) i32: same table in natural
+    #                            coefficient layout (steps+1 = never)
 
 
 class RefineCarry(NamedTuple):
@@ -240,9 +242,13 @@ def _bits_curve(consts: RefineConsts, cfg: RefineCfg):
     bits_init = _all_comp_bits(consts.init192, consts, cfg.comp_mask)
     bits0 = jnp.sum(bits_init, axis=0) + consts.pad_eob_bits
 
-    j = jnp.arange(steps, dtype=jnp.int32)[None, :, None]   # (1,S,1)
-    p = jnp.arange(1, 64, dtype=jnp.int32)[None, None, :]   # (1,1,63)
-    k = consts.cand_zpos[:, :, None]                        # (N,S,1)
+    # Broadcast layout (N, 63, S): the candidate axis S lives on lanes
+    # and the 63 positions on sublanes, so the reductions are sublane
+    # reductions — the (N, S, 63) layout lane-padded 63 -> 128 and
+    # lane-reduced, costing ~44 ms/iteration at 1 MPix.
+    j = jnp.arange(steps, dtype=jnp.int32)[None, None, :]   # (1,1,S)
+    p = jnp.arange(1, 64, dtype=jnp.int32)[None, :, None]   # (1,63,1)
+    k = consts.cand_zpos[:, None, :]                        # (N,1,S)
     cand_c = consts.cand_idx // 64                          # (N,S)
     base_mask = ((jnp.arange(steps, dtype=jnp.int32)[None, :]
                   < consts.cand_count[:, None])
@@ -265,12 +271,12 @@ def _bits_curve(consts: RefineConsts, cfg: RefineCfg):
             nbv = nbv + (a >= (1 << b)).astype(vz.dtype)
         o = consts.zero_order[:, c, :]                      # (N,63)
 
-        alive = (nz[:, None, :] & (o[:, None, :] > j))      # (N,S,63)
-        prev = jnp.max(jnp.where(alive & (p < k), p, 0), axis=2)
-        nxt = jnp.min(jnp.where(alive & (p > k), p, 64), axis=2)
-        nb_k = jnp.max(jnp.where(p == k, nbv[:, None, :], 0), axis=2)
-        nb_n = jnp.max(jnp.where(p == nxt[:, :, None], nbv[:, None, :],
-                                 0), axis=2)
+        alive = (nz[:, :, None] & (o[:, :, None] > j))      # (N,63,S)
+        prev = jnp.max(jnp.where(alive & (p < k), p, 0), axis=1)
+        nxt = jnp.min(jnp.where(alive & (p > k), p, 64), axis=1)
+        nb_k = jnp.max(jnp.where(p == k, nbv[:, :, None], 0), axis=1)
+        nb_n = jnp.max(jnp.where(p == nxt[:, None, :], nbv[:, :, None],
+                                 0), axis=1)
 
         k2 = consts.cand_zpos                               # (N,S)
         r1 = k2 - prev - 1
@@ -328,19 +334,12 @@ def _score_jpeg(dist, est_size, target):
 # ---------------------------------------------------------------------------
 
 def _state_from_n(n, consts: RefineConsts, cfg: RefineCfg) -> jax.Array:
-    """(N,) prefix counts -> (N, 192) coefficient state: one idempotent
-    scatter (unapplied candidate slots rewrite their initial value)."""
-    nb, steps = cfg.n_blocks, cfg.steps
-    t = jnp.arange(steps, dtype=jnp.int32)[None, :]
-    zero = ((t < n[:, None]) & (t < consts.cand_count[:, None])
-            & ~consts.prec)
-    vals = jnp.where(zero, 0, consts.init_at_cand)
-    rows = jnp.repeat(jnp.arange(nb, dtype=jnp.int32)[:, None], steps,
-                      axis=1)
-    flat_pos = (rows * 192 + consts.cand_idx).reshape(-1)
-    st = consts.init192.reshape(-1).at[flat_pos].set(
-        vals.reshape(-1), mode="drop")
-    return st.reshape(nb, 192)
+    """(N,) prefix counts -> (N, 192) coefficient state. Pure elementwise
+    via the natural-layout zeroing-order table: coefficient p is zeroed
+    iff its zeroing step is below the block's prefix count (a scatter
+    here cost ~20 ms/iteration at 1 MPix)."""
+    return jnp.where(consts.zero_order_nat < n[:, None], 0,
+                     consts.init192)
 
 
 def _compare_state(state192, consts: RefineConsts, cfg: RefineCfg):
@@ -435,15 +434,27 @@ def _iteration(carry: RefineCarry, consts: RefineConsts, cfg: RefineCfg,
                                jnp.maximum(min_coeffs, first_limit),
                                min_coeffs)
 
-        flat = vals.reshape(-1)
-        perm = jnp.argsort(flat, stable=True)
-        # rank = inverse permutation; argsort-of-argsort avoids a scatter
-        # (this backend has a history of scatter miscompiles)
-        ranks = jnp.argsort(perm)
-        r2 = ranks.reshape(nb, steps)
+        # One value sort (no argsort/ranks). Per-block applied counts for
+        # a prefix m come from the m-th smallest value v* plus an exact
+        # stable tie split: candidates strictly below v* all apply; the
+        # remaining m - #below apply to tied candidates in block-major
+        # order (within a block, ties are contiguous along t, so only the
+        # per-block counts matter — identical to rank semantics).
+        sorted_vals = jnp.sort(vals.reshape(-1))
+
+        def j_at(m):
+            vstar = sorted_vals[m - 1]
+            lt = (vals < vstar) & valid
+            eq = (vals == vstar) & valid
+            lt_b = jnp.sum(lt, axis=1).astype(jnp.int32)
+            eq_b = jnp.sum(eq, axis=1).astype(jnp.int32)
+            need = m - jnp.sum(lt_b)
+            cum_eq = jnp.cumsum(eq_b) - eq_b          # exclusive
+            extra = jnp.clip(need - cum_eq, 0, eq_b)
+            return lt_b + extra.astype(jnp.int32)
 
         def est_at(m):
-            j = jnp.sum((r2 < m) & valid, axis=1).astype(jnp.int32)
+            j = j_at(m)
             n_new = carry.n + jnp.where(up, j, -j)
             return (_est_size(_bits_at(cumdb3, bits0, n_new, nb), consts),
                     j, n_new)
@@ -470,7 +481,7 @@ def _iteration(carry: RefineCarry, consts: RefineConsts, cfg: RefineCfg,
         m = jax.lax.cond(cond_m(total), bisect, lambda _: total,
                          operand=None)
         est_m, j, n_new = est_at(m)
-        val_threshold = flat[perm[m - 1]]
+        val_threshold = sorted_vals[m - 1]
 
         mbe_new = (carry.mbe + w_sel * val_threshold
                    * carry.direction.astype(jnp.float32))
@@ -588,12 +599,14 @@ def zeroing_order_tables(cand_idx: np.ndarray, cand_count: np.ndarray,
     zigpos[NATURAL_ORDER] = np.arange(64)
     kz = zigpos[cand_idx % 64].astype(np.int32)
     o = np.full((nb, 3, 63), steps + 1, dtype=np.int32)
+    o_nat = np.full((nb, 192), steps + 1, dtype=np.int32)
     valid = ((np.arange(steps)[None, :] < cand_count[:, None]) & ~prec)
     b, t = np.nonzero(valid)
     c = cand_idx[b, t] // 64
     pos = kz[b, t]
     o[b, c, pos - 1] = t
-    return o, kz
+    o_nat[b, cand_idx[b, t]] = t
+    return o, kz, o_nat
 
 
 def precious_mask(cand_idx: np.ndarray, cand_count: np.ndarray,

@@ -54,8 +54,8 @@ def _host_fudged_bits(state, quant, depths):
 def _consts(quant, state, cand_idx, cand_count, prec, depths):
     n, steps = cand_idx.shape
     init192 = state.reshape(n, 192).astype(np.int32)
-    zero_order, cand_zpos = rd.zeroing_order_tables(cand_idx, cand_count,
-                                                    prec)
+    zero_order, cand_zpos, zero_order_nat = rd.zeroing_order_tables(
+        cand_idx, cand_count, prec)
     return rd.RefineConsts(
         cand_idx=jnp.asarray(cand_idx),
         cand_err=jnp.zeros((n, steps), jnp.float32),
@@ -78,7 +78,8 @@ def _consts(quant, state, cand_idx, cand_count, prec, depths):
         valid_h=jnp.int32(8), valid_w=jnp.int32(8 * n),
         row_valid=jnp.ones(n, bool),
         zero_order=jnp.asarray(zero_order),
-        cand_zpos=jnp.asarray(cand_zpos))
+        cand_zpos=jnp.asarray(cand_zpos),
+        zero_order_nat=jnp.asarray(zero_order_nat))
 
 
 def _cfg(n, steps):
