@@ -302,6 +302,19 @@ def compute_zeroing_order_420_luma(cur_y, orig_y, cb_tiles, cr_tiles,
     order = jnp.argsort(scores, axis=1)
     n_valid = jnp.sum(valid, axis=1)
 
+    if jax.default_backend() == "tpu":
+        from guetzli_tpu.search.zeroing_pallas import (
+            zeroing_greedy_pallas_420y)
+        idx_seq, err_seq = zeroing_greedy_pallas_420y(
+            cur3.reshape(-1, 192), order.astype(jnp.int32),
+            n_valid.astype(jnp.int32),
+            xyb0.reshape(n, 3, 64).astype(jnp.float32),
+            mask3.astype(jnp.float32), valid_w, valid_h,
+            cb_tiles, cr_tiles, steps, lookahead)
+        err_mono, counts = _postprocess(err_seq, n_valid, steps,
+                                        block_error_limit)
+        return idx_seq, err_mono, counts
+
     def one(c, o, nv, cb, cr, x0, m3, w, h):
         def eval_fn(flat):
             y = dct.idct_exact(flat[:64].reshape(8, 8))

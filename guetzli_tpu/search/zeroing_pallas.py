@@ -212,22 +212,30 @@ def const_matrices() -> np.ndarray:
                        _kron_MI(_DFT_C.T), _kron_MI(_DFT_S.T), csf_m])
 
 
-def make_kernel(steps: int, lookahead: int):
-    """Builds the Pallas kernel body for the given step count."""
+def make_kernel(steps: int, lookahead: int, mode: str = "444"):
+    """Builds the Pallas kernel body. mode='444': all three channels
+    live; mode='420y': only Y decodes from candidates, Cb/Cr come frozen
+    (the 4:2:0 luma masking pass, processor comp_mask=1)."""
     mix = OPSIN_MIX.astype(np.float32)
 
-    def tile_error(cur192, xyb0, mask3, vw, vh, consts):
+    def tile_error(cur192, xyb0, mask3, vw, vh, consts, frozen_cbcr):
         col_digits = [consts[i] for i in range(2)]
         row_digits = [consts[i] for i in range(2, 5)]
         (blur_k, dft_c_rows, dft_s_rows, dft_c_cols, dft_s_cols,
          csf_m) = [consts[i] for i in range(5, 11)]
         csf = csf_m[0]
         # integer IDCT + edge replication per channel
-        px = [
-            _replicate_edges_64(
-                _idct_exact_64(cur192[c * 64:(c + 1) * 64, :],
-                               col_digits, row_digits), vw, vh)
-            for c in range(3)]
+        if mode == "444":
+            px = [
+                _replicate_edges_64(
+                    _idct_exact_64(cur192[c * 64:(c + 1) * 64, :],
+                                   col_digits, row_digits), vw, vh)
+                for c in range(3)]
+        else:
+            y0 = _replicate_edges_64(
+                _idct_exact_64(cur192[0:64, :], col_digits, row_digits),
+                vw, vh)
+            px = [y0, frozen_cbcr[0], frozen_cbcr[1]]
         # YCbCr -> sRGB (libjpeg-exact integer arithmetic)
         y = px[0]
         cbc = px[1] - 128
@@ -263,7 +271,13 @@ def make_kernel(steps: int, lookahead: int):
         return jnp.sqrt(jnp.maximum(err, 0.0))[0]      # (B,)
 
     def kernel(cur_ref, order_ref, nvalid_ref, xyb0_ref, mask3_ref,
-               vw_ref, vh_ref, consts_ref, idx_ref, err_ref):
+               vw_ref, vh_ref, consts_ref, *rest):
+        if mode == "444":
+            idx_ref, err_ref = rest
+            frozen_cbcr = None
+        else:
+            cb_ref, cr_ref, idx_ref, err_ref = rest
+            frozen_cbcr = (cb_ref[0], cr_ref[0])
         consts = consts_ref[...]             # (11, 64, 64) f32
         cur0 = cur_ref[0]                    # (192, B) i32
         order0 = order_ref[0]                # (192, B) i32
@@ -284,7 +298,8 @@ def make_kernel(steps: int, lookahead: int):
                 ci = jnp.sum(jnp.where(iota192 == (p + j)[None, :], lst,
                                        0), axis=0)          # (B,)
                 trial = jnp.where(iota192 == ci[None, :], 0, cur)
-                e = tile_error(trial, xyb0, mask3, vw, vh, consts)
+                e = tile_error(trial, xyb0, mask3, vw, vh, consts,
+                               frozen_cbcr)
                 navail = nv - t
                 e = jnp.where(j < navail, e, INF)
                 cands.append(ci)
@@ -338,6 +353,25 @@ def zeroing_greedy_pallas(cur, order, n_valid, xyb0, mask3, vw, vh,
     xyb0: (N, 3, 64) f32 original opsin tiles; mask3 (N, 3); vw/vh (N,).
     Returns (idx_seq (N, steps) i32, err_seq (N, steps) f32) — raw, the
     caller monotonicizes (zeroing._postprocess)."""
+    return _greedy_pallas("444", cur, order, n_valid, xyb0, mask3, vw,
+                          vh, None, None, steps, lookahead, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "lookahead",
+                                             "interpret"))
+def zeroing_greedy_pallas_420y(cur, order, n_valid, xyb0, mask3, vw, vh,
+                               cb_tiles, cr_tiles, steps: int,
+                               lookahead: int = 3,
+                               interpret: bool = False):
+    """4:2:0 luma masking pass: Y candidates, frozen dithered chroma
+    tiles cb/cr (N, 8, 8) int32."""
+    return _greedy_pallas("420y", cur, order, n_valid, xyb0, mask3, vw,
+                          vh, cb_tiles, cr_tiles, steps, lookahead,
+                          interpret)
+
+
+def _greedy_pallas(mode, cur, order, n_valid, xyb0, mask3, vw, vh,
+                   cb_tiles, cr_tiles, steps, lookahead, interpret):
     n = cur.shape[0]
     bt = BLOCK_TILE
     n_tiles = -(-n // bt)
@@ -352,6 +386,12 @@ def zeroing_greedy_pallas(cur, order, n_valid, xyb0, mask3, vw, vh,
         a = a.reshape((n_tiles, bt) + a.shape[1:])
         return jnp.moveaxis(a, 1, -1)
 
+    def spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec((1,) + shape,
+                            (lambda i: (i,) + (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
     cur_t = prep(cur.astype(jnp.int32))                 # (T, 192, bt)
     order_t = prep(order.astype(jnp.int32))
     nv_t = prep(n_valid.astype(jnp.int32))[:, None, :]  # (T, 1, bt)
@@ -360,41 +400,31 @@ def zeroing_greedy_pallas(cur, order, n_valid, xyb0, mask3, vw, vh,
     vw_t = prep(vw.astype(jnp.int32))[:, None, :]
     vh_t = prep(vh.astype(jnp.int32))[:, None, :]
 
-    kern = make_kernel(steps, lookahead)
+    args = [cur_t, order_t, nv_t, xyb0_t, mask3_t, vw_t, vh_t]
+    in_specs = [spec((192, bt)), spec((192, bt)), spec((1, bt)),
+                spec((192, bt)), spec((3, bt)), spec((1, bt)),
+                spec((1, bt)),
+                pl.BlockSpec((11, 64, 64), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    args.append(jnp.asarray(const_matrices()))
+    if mode == "420y":
+        cb_t = prep(jnp.asarray(cb_tiles, jnp.int32).reshape(n, 64))
+        cr_t = prep(jnp.asarray(cr_tiles, jnp.int32).reshape(n, 64))
+        args += [cb_t, cr_t]
+        in_specs += [spec((64, bt)), spec((64, bt))]
+
+    kern = make_kernel(steps, lookahead, mode)
     idx, err = pl.pallas_call(
         kern,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 192, bt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 192, bt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 192, bt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, bt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((11, 64, 64), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, steps, bt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, steps, bt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
+        out_specs=[spec((steps, bt)), spec((steps, bt))],
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, steps, bt), jnp.int32),
             jax.ShapeDtypeStruct((n_tiles, steps, bt), jnp.float32),
         ],
         interpret=interpret,
-    )(cur_t, order_t, nv_t, xyb0_t, mask3_t, vw_t, vh_t,
-      jnp.asarray(const_matrices()))
+    )(*args)
     # (T, steps, bt) -> (N, steps)
     idx = jnp.moveaxis(idx, -1, 1).reshape(n_tiles * bt, steps)[:n]
     err = jnp.moveaxis(err, -1, 1).reshape(n_tiles * bt, steps)[:n]
