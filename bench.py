@@ -96,12 +96,15 @@ def main():
         if best_single <= HEALTHY_SINGLE_S * 1.5:
             break                     # healthy window: done
 
-    value = BATCH * mpix1 / best_batch if best_batch else mpix1 / \
-        best_single
+    batch_tp = BATCH * mpix1 / best_batch if best_batch else 0.0
+    single_tp = mpix1 / best_single
+    value = max(batch_tp, single_tp)
+    config = "batch16" if batch_tp >= single_tp else "single"
     degraded = best_single > HEALTHY_SINGLE_S * 3
     result = {
         "metric": "encode_throughput_q95",
         "value": round(value, 5),
+        "config": config,
         "unit": "MPix/s",
         "vs_baseline": round(value / BASELINE_MPIX_S, 2),
         "detail": {
