@@ -136,23 +136,11 @@ def _mask_self_dyn(xyb0, h, w):
     return mask_fn(xyb0, xyb0, (h, w))
 
 
-def _compare_coeffs_impl(coeffs, pi0, target_distance, width, height,
-                         factors, wfactor, valid_hw=None):
-    """One device call per optimizer iteration: host coefficient mirror ->
-    pixel planes -> sRGB -> linear -> opsin -> diffmap -> distance, plus the
-    block-error adjustment weight grids for both directions x rblock 1..4
-    (what the next iteration's global-order build needs). Returns
-    (distmap, packed) where packed = [distance, weights.ravel()] so the host
-    pays a single round trip.
-
-    coeffs: tuple of 3 (nby_c, nbx_c, 64) int32 arrays, or one packed
-    (3, nby, nbx, 64) array when all components share a grid (444 — one
-    host->device transfer instead of three); factors: static per-comp
-    sampling factor (1 or 2); wfactor: the masking pass's block factor.
-
-    valid_hw: optional traced (h, w) when width/height are a padded size
-    bucket; all border semantics then land at the true (h, w) edge and
-    the returned distmap is zero outside the valid region."""
+def _diffmap_from_coeffs(coeffs, pi0, width, height, factors,
+                         valid_hw=None):
+    """Coefficient state -> diffmap: pixel planes -> sRGB -> linear ->
+    opsin -> frequency cascade -> psycho diffmap (the metric's forward
+    pass; reference butteraugli_comparator.cc:63-75)."""
     from guetzli_tpu.image.output_image import (fancy_upsample_16,
                                                 fancy_upsample_16_dyn,
                                                 idct_pixels16,
@@ -172,7 +160,28 @@ def _compare_coeffs_impl(coeffs, pi0, target_distance, width, height,
     lin = srgb8_to_linear(ycbcr_planes_to_srgb(*planes))
     xyb1 = opsin_dynamics_image(lin, valid_hw)
     pi1 = separate_frequencies(xyb1, valid_hw)
-    dmap = diffmap_psycho_image(pi0, pi1, valid_hw)
+    return diffmap_psycho_image(pi0, pi1, valid_hw)
+
+
+def _compare_coeffs_impl(coeffs, pi0, target_distance, width, height,
+                         factors, wfactor, valid_hw=None):
+    """One device call per optimizer iteration: host coefficient mirror ->
+    pixel planes -> sRGB -> linear -> opsin -> diffmap -> distance, plus the
+    block-error adjustment weight grids for both directions x rblock 1..4
+    (what the next iteration's global-order build needs). Returns
+    (distmap, packed) where packed = [distance, weights.ravel()] so the host
+    pays a single round trip.
+
+    coeffs: tuple of 3 (nby_c, nbx_c, 64) int32 arrays, or one packed
+    (3, nby, nbx, 64) array when all components share a grid (444 — one
+    host->device transfer instead of three); factors: static per-comp
+    sampling factor (1 or 2); wfactor: the masking pass's block factor.
+
+    valid_hw: optional traced (h, w) when width/height are a padded size
+    bucket; all border semantics then land at the true (h, w) edge and
+    the returned distmap is zero outside the valid region."""
+    dmap = _diffmap_from_coeffs(coeffs, pi0, width, height, factors,
+                                valid_hw)
     dist = jnp.max(dmap)
     ws = _block_weights_all(dmap, target_distance, wfactor, width, height)
     packed = jnp.concatenate([dist[None].astype(jnp.float32),
@@ -242,6 +251,36 @@ def _compare_coeffs_fused(coeffs, pi0, target_distance, width, height,
                           factors, wfactor):
     return _compare_coeffs_impl(coeffs, pi0, target_distance, width,
                                 height, factors, wfactor)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "factors"))
+def _requant_compare_batch_dyn(base, q_batch, pi0, h, w, width, height,
+                               factors):
+    """Speculative quant-search evaluation: B candidate quant matrices
+    against the device-resident dequantized base state, one device call.
+
+    The reference evaluates quant candidates strictly one at a time
+    (TryQuantMatrix, processor.cc:298-326), paying a full link round trip
+    each; since the next candidate is a deterministic function of the
+    current one's DistanceOK bit, the host evaluates the whole outcome
+    TREE speculatively in one call (see processor.select_quant_matrix).
+
+    base: (3, nby, nbx, 64) int32 dequantized coeffs (quant=1 state), or
+    a tuple of per-comp grids for 4:2:0; q_batch: (B, 3, 64) int32
+    candidates. Returns (B,) f32 distances (requantize -> decode ->
+    butteraugli max; weights are not needed by the quant search)."""
+    def one(q):
+        from guetzli_tpu.ops.quantize import quantize_nearest
+        if isinstance(base, tuple):
+            coeffs = tuple(quantize_nearest(base[c], q[c])
+                           for c in range(3))
+        else:
+            coeffs = quantize_nearest(base, q[:, None, None, :])
+        dmap = _diffmap_from_coeffs(coeffs, pi0, width, height, factors,
+                                    (h, w))
+        return jnp.max(dmap)
+
+    return jax.lax.map(one, q_batch)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "factors",
@@ -444,6 +483,35 @@ class ButteraugliComparatorTPU(Comparator):
             return finalize
         return lambda: self._compare_coeffs_sync(coeff_list, factors,
                                                  wfactor, target_mul)
+
+    # --- speculative quant-search evaluation ---
+
+    def quant_search_begin(self, coeff_list, factors) -> None:
+        """Uploads the dequantized base state once; compare_requant_batch
+        then ships only the (B, 3, 64) candidate matrices per call."""
+        from guetzli_tpu.parallel import runtime
+        padded = [self.pad_comp_grid(np.ascontiguousarray(c, np.int32), f)
+                  for c, f in zip(coeff_list, factors)]
+        self._qs_factors = tuple(int(f) for f in factors)
+        if all(p.shape == padded[0].shape for p in padded[1:]):
+            base = jnp.asarray(np.stack(padded))
+            if self.sp_mesh is not None:
+                base = runtime.shard_rows(base, self.sp_mesh, 1)
+        else:
+            base = tuple(jnp.asarray(p) for p in padded)
+            if self.sp_mesh is not None:
+                base = tuple(runtime.shard_rows(p, self.sp_mesh, 0)
+                             for p in base)
+        self._qs_base = base
+
+    def compare_requant_batch(self, q_batch: np.ndarray) -> np.ndarray:
+        """(B, 3, 64) int32 candidate quant matrices -> (B,) distances of
+        the requantized base state (one fused device call)."""
+        dists = _requant_compare_batch_dyn(
+            self._qs_base, jnp.asarray(q_batch, jnp.int32), self._pi0,
+            jnp.int32(self.height), jnp.int32(self.width),
+            self.wb, self.hb, self._qs_factors)
+        return np.asarray(dists)
 
     def _compare_coeffs_sync(self, coeff_list, factors, wfactor: int,
                              target_mul: float) -> np.ndarray:

@@ -48,6 +48,8 @@ _PARANOID = bool(_os.environ.get("GUETZLI_TPU_PARANOID"))
 _HOST_REFINE = bool(_os.environ.get("GUETZLI_TPU_HOST_REFINE"))
 # Phase timing to stderr (perf diagnosis): GUETZLI_TPU_TIMING=1
 _TIMING = bool(_os.environ.get("GUETZLI_TPU_TIMING"))
+# Sequential (non-speculative) quant search for A/B debugging.
+_SEQ_QUANT = bool(_os.environ.get("GUETZLI_TPU_SEQ_QUANT"))
 
 
 class _Phase:
@@ -165,6 +167,108 @@ class Processor:
     def select_quant_matrix(self, jpg_in: JPEGData, downsample: bool,
                             q_init: np.ndarray, img: OutputImage
                             ) -> (bool, np.ndarray):
+        """Quant-matrix search (reference SelectQuantMatrix,
+        processor.cc:328-360). Default: speculative tree evaluation —
+        the generator's next candidates for every DistanceOK outcome are
+        scored in one batched device call (compare_requant_batch), so the
+        ~9 sequential tunnel round trips of the one-at-a-time protocol
+        collapse to ~ceil(levels/depth). Candidate visit order, logging
+        and acceptance are identical to the sequential path
+        (GUETZLI_TPU_SEQ_QUANT=1 restores it)."""
+        from guetzli_tpu.metric.comparator import _BUCKETS
+        if not _BUCKETS or _SEQ_QUANT:
+            return self._select_quant_matrix_seq(jpg_in, downsample,
+                                                 q_init, img)
+        qgen = quant_search.QuantMatrixGenerator(downsample)
+        target_mul_high, target_mul_low = 0.97, 0.95
+
+        img.copy_from_jpeg_data(jpg_in)
+        self.comparator.quant_search_begin(
+            [c.coeffs for c in img.components],
+            [c.factor_x for c in img.components])
+        # deeper speculation while per-compare device cost is small
+        canvas_mpix = self.comparator.hb * self.comparator.wb / 1e6
+        depth, nslots = (3, 8) if canvas_mpix <= 2.3 else (2, 4)
+
+        def finish(q, dist) -> quant_search.QuantData:
+            """Host half of a visited candidate: serialization for the
+            true size, stats/logging, MaybeOutput — try_quant_matrix
+            minus the device work."""
+            data = quant_search.QuantData(q=q.copy())
+            self.comparator.distance = float(dist)
+            img.copy_from_jpeg_data(jpg_in)
+            img.apply_global_quantization(q)
+            encoded = self.output_jpeg(img.save_to_jpeg_data())
+            self.stats.num_iterations += 1
+            if self.stats.debug:
+                from guetzli_tpu.config import log_quant, print_debug
+                _log(self.stats,
+                     f"Iter {self.stats.num_iterations:2d}: "
+                     f"{img.frame_type_str()} quantization matrix:")
+                log_quant(self.stats, q)
+            _log(self.stats,
+                 f"Iter {self.stats.num_iterations}: "
+                 f"{img.frame_type_str()} "
+                 f"GQ[{quant_search.quant_matrix_heuristic_score(q):5.2f}] "
+                 f"Out[{len(encoded)}]")
+            if self.stats.debug:
+                from guetzli_tpu.config import print_debug
+                print_debug(self.stats,
+                            f" BA D[{self.comparator.distance:.4f}]\n")
+            data.dist_ok = self.comparator.distance_ok(target_mul_high)
+            data.jpg_size = len(encoded)
+            self.maybe_output(encoded)
+            return data
+
+        best = None
+        extra = q_init          # evaluated once, never fed to the generator
+        stop = False
+        while not stop:
+            tree = quant_search.speculative_tree(qgen, depth)
+            nodes = sorted(
+                ((p, q) for p, q in tree.items() if q is not None),
+                key=lambda pq: (len(pq[0]), pq[0]))
+            slots = ([(None, extra)] if extra is not None else []) + nodes
+            slots = slots[:nslots]
+            if not slots:
+                break
+            qb = np.zeros((nslots, 3, 64), np.int32)
+            for i, (_, q) in enumerate(slots):
+                qb[i] = q
+            for i in range(len(slots), nslots):
+                qb[i] = slots[0][1]
+            dists = self.comparator.compare_requant_batch(qb)
+            slot_of = {p: i for i, (p, _) in enumerate(slots)}
+            if extra is not None:
+                best = finish(extra, dists[slot_of[None]])
+                extra = None
+            path = ()
+            while True:
+                if tree.get(path, False) is None:
+                    stop = True              # generator exhausted
+                    break
+                if path not in slot_of:
+                    break                    # deeper than this batch
+                q_real = qgen.get_next()
+                if q_real is None:
+                    stop = True
+                    break
+                assert np.array_equal(q_real, tree[path]), \
+                    "speculative quant tree diverged from the generator"
+                data = finish(q_real, dists[slot_of[path]])
+                qgen.add(data)
+                if quant_search.better_quant_data(data, best):
+                    best = data
+                    if data.dist_ok and not self.comparator.distance_ok(
+                            target_mul_low):
+                        stop = True
+                        break
+                path = path + (data.dist_ok,)
+        return best.dist_ok, best.q
+
+    def _select_quant_matrix_seq(self, jpg_in: JPEGData, downsample: bool,
+                                 q_init: np.ndarray, img: OutputImage
+                                 ) -> (bool, np.ndarray):
         qgen = quant_search.QuantMatrixGenerator(downsample)
         target_mul_high, target_mul_low = 0.97, 0.95
         best = self.try_quant_matrix(jpg_in, target_mul_high, q_init, img)

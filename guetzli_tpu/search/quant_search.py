@@ -125,3 +125,37 @@ class QuantMatrixGenerator:
         else:
             self.hscore_b = (hscore if self.hscore_b == -1.0
                              else min(self.hscore_b, hscore))
+
+    def clone(self) -> "QuantMatrixGenerator":
+        g = QuantMatrixGenerator(self.downsample)
+        g.hscore_a = self.hscore_a
+        g.hscore_b = self.hscore_b
+        g.quants = list(self.quants)
+        return g
+
+
+def speculative_tree(gen: QuantMatrixGenerator, depth: int):
+    """Simulate the generator's next `depth` levels for every DistanceOK
+    outcome path.
+
+    The generator's evolution is a deterministic function of each tried
+    candidate's dist_ok bit (get_next/add read nothing else), so the
+    whole outcome tree can be enumerated ahead of evaluation and scored
+    in ONE batched device call (processor.select_quant_matrix). Returns
+    {outcome_path (tuple of bools): candidate q or None-if-exhausted};
+    paths have length < depth."""
+    out = {}
+
+    def rec(g: QuantMatrixGenerator, d: int, path):
+        g2 = g.clone()
+        q = g2.get_next()
+        out[path] = q
+        if q is None or d <= 1:
+            return
+        for outcome in (True, False):
+            g3 = g2.clone()
+            g3.add(QuantData(q=q.copy(), dist_ok=outcome))
+            rec(g3, d - 1, path + (outcome,))
+
+    rec(gen, depth, ())
+    return out
