@@ -26,13 +26,18 @@ The three invariants that make the loop jittable:
    iteration-invariant curve, recomputed once per chunk by one scan;
    est(m) inside the stopping bisection is then two gathers into the
    per-block cumulative curve.
-3. Rank-exact application. The global order (processor.cc:636-678) is
-   realized as a stable argsort over the (block-major, t) value grid —
-   the same tie-breaking as the vectorized host path — and per-block
-   applied counts j_b(m) with contiguous window sums reproduce the
-   applied set and size estimate exactly (ties inside a block are
-   plateau runs of the monotonicized error curve; the applied set
-   depends only on j_b, which ties cannot change).
+3. Rank-exact application without sorting. The global order
+   (processor.cc:636-678) is never materialized: per-block values are
+   monotone along t inside the valid window (the error curve is
+   monotonicized), so the applied set of any rank prefix m is a
+   per-block contiguous t-window characterized by counts j_b alone.
+   The stopping rule's bisection runs in two exact stages — over the
+   order-preserving u32 encoding of the threshold value (class
+   boundaries), then by rank inside the boundary tie class with the
+   block-major stable-sort tie split — and the size estimate at any
+   probe is an int32 masked window sum over the bit-delta grid.
+   Identical results to a stable argsort, with no sort and no
+   per-probe gathers.
 """
 
 from __future__ import annotations
@@ -308,6 +313,19 @@ def _bits_at(cumdb3, bits0, n, n_blocks):
         jnp.take_along_axis(cumdb3, idx, axis=1)[:, 0, :], axis=0)
 
 
+def _enc_f32(vals: jax.Array, valid: jax.Array) -> jax.Array:
+    """Order-preserving f32 -> u32 encoding (sign-folded bit pattern);
+    invalid slots -> UINT32_MAX so they sort above every real value
+    (+inf encodes to 0xFF800000, still below the sentinel). `vals + 0.0`
+    upstream must have normalized -0.0 to +0.0 so encoded ties coincide
+    exactly with f32-comparison ties. Unsigned so the bisection midpoint
+    arithmetic in _iteration cannot overflow (jax x64 is disabled)."""
+    bits = jax.lax.bitcast_convert_type(vals, jnp.uint32)
+    enc = jnp.where(bits < jnp.uint32(2 ** 31),
+                    bits + jnp.uint32(2 ** 31), ~bits)
+    return jnp.where(valid, enc, jnp.uint32(2 ** 32 - 1))
+
+
 def _est_size(bits3: jax.Array, consts: RefineConsts) -> jax.Array:
     """(3,) i32 per-comp raw bits -> total estimated bytes (reference
     _entropy_size semantics: per-component escape fudge, shared ceil)."""
@@ -375,7 +393,7 @@ def _compare_state(state192, consts: RefineConsts, cfg: RefineCfg):
 # ---------------------------------------------------------------------------
 
 def _iteration(carry: RefineCarry, consts: RefineConsts, cfg: RefineCfg,
-               cumdb3, bits0):
+               cumdb3, bits0, db3):
     nb, steps = cfg.n_blocks, cfg.steps
     up = carry.direction > 0
     t = jnp.arange(steps, dtype=jnp.int32)[None, :]
@@ -402,7 +420,8 @@ def _iteration(carry: RefineCarry, consts: RefineConsts, cfg: RefineCfg,
     total = tot_sel
 
     # current size estimate (stateless from n; re-based on depth refresh)
-    prev_size = _est_size(_bits_at(cumdb3, bits0, carry.n, nb), consts)
+    prev_bits3 = _bits_at(cumdb3, bits0, carry.n, nb)
+    prev_size = _est_size(prev_bits3, consts)
 
     stop_now = (~up) & (prev_size.astype(jnp.float32)
                         > consts.stop_threshold)
@@ -414,7 +433,7 @@ def _iteration(carry: RefineCarry, consts: RefineConsts, cfg: RefineCfg,
         wsafe = jnp.where(wpos, w_sel, 1.0)[:, None]
         raw = jnp.where(up, consts.cand_err - carry.mbe[:, None],
                         carry.mbe[:, None] - consts.cand_err)
-        vals = jnp.where(valid, raw / wsafe, jnp.inf)
+        vals = jnp.where(valid, raw / wsafe, jnp.inf) + 0.0
 
         blocks_to_change = jnp.where(
             up,
@@ -434,54 +453,78 @@ def _iteration(carry: RefineCarry, consts: RefineConsts, cfg: RefineCfg,
                                jnp.maximum(min_coeffs, first_limit),
                                min_coeffs)
 
-        # One value sort (no argsort/ranks). Per-block applied counts for
-        # a prefix m come from the m-th smallest value v* plus an exact
-        # stable tie split: candidates strictly below v* all apply; the
-        # remaining m - #below apply to tied candidates in block-major
-        # order (within a block, ties are contiguous along t, so only the
-        # per-block counts matter — identical to rank semantics).
-        sorted_vals = jnp.sort(vals.reshape(-1))
+        # No sort, no rank gathers. vals are monotone along t inside each
+        # block's valid window (the error curve is monotonicized), so the
+        # applied set of ANY value threshold is a contiguous per-block t
+        # window, and everything the stopping rule needs is a function of
+        # per-block COUNTS:
+        #   stage A bisects the order-preserving int32 encoding of the
+        #     threshold value (class boundaries: j_b = #(enc <= e));
+        #   stage B splits the boundary tie class by rank with the same
+        #     block-major cum_eq rule as a stable sort.
+        # The size estimate at per-block counts j is a masked window sum
+        # over the per-candidate bit-delta grid — exact (int32) and
+        # elementwise, replacing a full N*steps sort plus a 256-entry
+        # gather per bisection probe.
+        enc = _enc_f32(vals, valid)
+        n_col_ = carry.n[:, None]
 
-        def j_at(m):
-            vstar = sorted_vals[m - 1]
-            lt = (vals < vstar) & valid
-            eq = (vals == vstar) & valid
-            lt_b = jnp.sum(lt, axis=1).astype(jnp.int32)
-            eq_b = jnp.sum(eq, axis=1).astype(jnp.int32)
-            need = m - jnp.sum(lt_b)
-            cum_eq = jnp.cumsum(eq_b) - eq_b          # exclusive
-            extra = jnp.clip(need - cum_eq, 0, eq_b)
-            return lt_b + extra.astype(jnp.int32)
+        def est_of_j(j):
+            jc = j[:, None]
+            win = jnp.where(up, valid & (t < n_col_ + jc),
+                            valid & (t >= n_col_ - jc))
+            d = jnp.sum(jnp.where(win[:, :, None], db3, 0), axis=(0, 1))
+            return _est_size(prev_bits3 + jnp.where(up, d, -d), consts)
 
-        def est_at(m):
-            j = j_at(m)
-            n_new = carry.n + jnp.where(up, j, -j)
-            return (_est_size(_bits_at(cumdb3, bits0, n_new, nb), consts),
-                    j, n_new)
-
-        def cond_m(m):
-            est, _, _ = est_at(m)
-            return ((m > min_coeffs)
+        def cond_j(m_, j):
+            est = est_of_j(j)
+            return ((m_ > min_coeffs)
                     & (jnp.abs(est - prev_size).astype(jnp.float32)
                        > min_size_delta))
 
-        def bisect(_):
-            lo0 = jnp.maximum(min_coeffs, 0)
+        j_total = jnp.sum(valid, axis=1, dtype=jnp.int32)
 
-            def body(lh):
+        def with_bisect(_):
+            def body_a(lh):
                 lo, hi = lh
-                mid = (lo + hi) // 2
-                c = cond_m(mid)
+                mid = lo + (hi - lo) // jnp.uint32(2)
+                jm = jnp.sum(enc <= mid, axis=1, dtype=jnp.int32)
+                c = cond_j(jnp.sum(jm), jm)
                 return (jnp.where(c, lo, mid), jnp.where(c, mid, hi))
 
-            lo, hi = jax.lax.while_loop(
-                lambda lh: lh[1] - lh[0] > 1, body, (lo0, total))
-            return hi
+            _, estar = jax.lax.while_loop(
+                lambda lh: lh[1] - lh[0] > jnp.uint32(1), body_a,
+                (jnp.uint32(0), jnp.uint32(2 ** 32 - 1)))
+            lt_b = jnp.sum(enc < estar, axis=1, dtype=jnp.int32)
+            eq = enc == estar
+            eq_b = jnp.sum(eq, axis=1, dtype=jnp.int32)
+            m_lo = jnp.sum(lt_b)
+            m_hi = m_lo + jnp.sum(eq_b)
+            cum_eq = jnp.cumsum(eq_b) - eq_b          # exclusive
 
-        m = jax.lax.cond(cond_m(total), bisect, lambda _: total,
-                         operand=None)
-        est_m, j, n_new = est_at(m)
-        val_threshold = sorted_vals[m - 1]
+            def j_at_m(m_):
+                extra = jnp.clip(m_ - m_lo - cum_eq, 0, eq_b)
+                return lt_b + extra.astype(jnp.int32)
+
+            def body_b(lh):
+                lo, hi = lh
+                mid = (lo + hi) // 2
+                c = cond_j(mid, j_at_m(mid))
+                return (jnp.where(c, lo, mid), jnp.where(c, mid, hi))
+
+            _, m_ = jax.lax.while_loop(
+                lambda lh: lh[1] - lh[0] > 1, body_b, (m_lo, m_hi))
+            vstar = jnp.min(jnp.where(eq, vals, jnp.inf))
+            return m_, j_at_m(m_), vstar
+
+        def no_bisect(_):
+            vmax = jnp.max(jnp.where(valid, vals, -jnp.inf))
+            return total, j_total, vmax
+
+        m, j, val_threshold = jax.lax.cond(
+            cond_j(total, j_total), with_bisect, no_bisect, operand=None)
+        est_m = est_of_j(j)
+        n_new = carry.n + jnp.where(up, j, -j)
 
         mbe_new = (carry.mbe + w_sel * val_threshold
                    * carry.direction.astype(jnp.float32))
@@ -526,6 +569,7 @@ def refine_chunk(carry: RefineCarry, consts: RefineConsts,
     (carry, logs (K, 8)) where each log row is [active, direction, m,
     val_threshold, est_size, dist, rblock, blocks_to_change]."""
     cumdb3, bits0 = _bits_curve(consts, cfg)
+    db3 = cumdb3[:, 1:, :] - cumdb3[:, :-1, :]      # (N, steps, 3)
     logs0 = jnp.zeros((cfg.k_iters, 8), jnp.float32)
 
     def cond(state):
@@ -534,7 +578,7 @@ def refine_chunk(carry: RefineCarry, consts: RefineConsts,
 
     def body(state):
         carry, logs, i = state
-        carry, row = _iteration(carry, consts, cfg, cumdb3, bits0)
+        carry, row = _iteration(carry, consts, cfg, cumdb3, bits0, db3)
         logs = jax.lax.dynamic_update_slice(logs, row[None, :],
                                             (i, jnp.int32(0)))
         return carry, logs, i + 1

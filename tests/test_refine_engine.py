@@ -152,6 +152,145 @@ def test_state_scatter_matches_host(rng):
         assert np.array_equal(dev, host)
 
 
+def _legacy_select_np(vals, valid, n, cumdb3, bits0, up, min_coeffs,
+                      prev_size, min_size_delta, consts):
+    """Numpy model of the ORIGINAL sort-based stopping rule (full stable
+    sort + rank bisection with block-major tie split) — the semantics the
+    sortless two-stage bisection in _iteration must reproduce exactly."""
+    nb = vals.shape[0]
+    total = int(valid.sum())
+    sorted_vals = np.sort(vals.reshape(-1), kind="stable")
+    header_dc = int(consts.header_dc)
+    frozen = int(consts.frozen_fudged)
+
+    def est_size(bits3):
+        fudged = bits3 + ((bits3 * 3 + 512) >> 10)
+        return header_dc + ((int(fudged.sum()) + frozen + 7) // 8)
+
+    def j_at(m):
+        vstar = sorted_vals[m - 1]
+        lt_b = ((vals < vstar) & valid).sum(axis=1).astype(np.int64)
+        eq_b = ((vals == vstar) & valid).sum(axis=1).astype(np.int64)
+        need = m - lt_b.sum()
+        cum_eq = np.cumsum(eq_b) - eq_b
+        extra = np.clip(need - cum_eq, 0, eq_b)
+        return (lt_b + extra).astype(np.int32)
+
+    def est_at(m):
+        j = j_at(m)
+        n_new = n + (j if up else -j)
+        bits3 = bits0 + cumdb3[np.arange(nb), n_new, :].sum(axis=0)
+        return est_size(bits3), j, n_new
+
+    def cond_m(m):
+        est, _, _ = est_at(m)
+        return (m > min_coeffs) and (abs(est - prev_size)
+                                     > min_size_delta)
+
+    if not cond_m(total):
+        m = total
+    else:
+        lo, hi = max(min_coeffs, 0), total
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if cond_m(mid):
+                hi = mid
+            else:
+                lo = mid
+        m = hi
+    est, j, n_new = est_at(m)
+    return m, j, n_new, est, sorted_vals[m - 1]
+
+
+@pytest.mark.parametrize("direction,seed", [(1, 0), (1, 1), (-1, 2),
+                                            (-1, 3), (1, 4), (-1, 5)])
+def test_selection_matches_sort_model(rng, direction, seed):
+    """One _iteration step (compare stubbed) must pick the same m, the
+    same per-block applied counts, the same size estimate and the same
+    value threshold as the sort-based reference — including engineered
+    value ties across blocks."""
+    r = np.random.default_rng(seed)
+    quant, state, cand_idx, cand_count, prec = _make_problem(r)
+    nb, steps = cand_idx.shape
+    depths = (r.integers(1, 17, (3, 256))).astype(np.int32)
+    # monotone error curves with deliberate plateau ties (quantized)
+    cand_err = np.sort(
+        np.round(r.random((nb, steps)).astype(np.float32) * 8) / 4.0,
+        axis=1).astype(np.float32)
+    consts = _consts(quant, state, cand_idx, cand_count, prec, depths)
+    consts = consts._replace(cand_err=jnp.asarray(cand_err),
+                             base_size=jnp.float32(500.0))
+    cfg = _cfg(nb, steps)
+
+    n0 = (r.integers(0, 1000, nb) % (cand_count + 1)).astype(np.int32)
+    if direction > 0:
+        n0 //= 2
+    w = np.where(r.random((8, nb)) < 0.3, 0.0,
+                 r.integers(1, 5, (8, nb)) / 2.0).astype(np.float32)
+    carry = rd.init_carry(nb, 1.2)._replace(
+        n=jnp.asarray(n0), direction=jnp.int32(direction),
+        first_up=jnp.bool_(False), w_grids=jnp.asarray(w),
+        mbe=jnp.asarray((r.random(nb) * 2).astype(np.float32)))
+
+    stub = lambda s, c, f: (jnp.float32(1.2),
+                            jnp.ones((8, cfg.n_blocks), jnp.float32))
+    orig_cmp = rd._compare_state
+    rd._compare_state = stub
+    try:
+        cumdb3, bits0 = rd._bits_curve(consts, cfg)
+        db3 = cumdb3[:, 1:, :] - cumdb3[:, :-1, :]
+        new_carry, row = rd._iteration(carry, consts, cfg, cumdb3,
+                                       bits0, db3)
+        row = np.asarray(row)
+        n_new_dev = np.asarray(new_carry.n)
+    finally:
+        rd._compare_state = orig_cmp
+    if row[0] == 0:
+        return  # halted (no valid candidates for this draw) — fine
+
+    # --- numpy twin of the iteration's selection preamble ---
+    up = direction > 0
+    t = np.arange(steps)[None, :]
+    base_valid = ((t >= n0[:, None]) & (t < cand_count[:, None])
+                  if up else t < n0[:, None])
+    di = 0 if up else 4
+    w_sel = None
+    for rb in range(4):
+        w_rb = w[di + rb]
+        if (((w_rb > 0)[:, None]) & base_valid).sum() > 0:
+            w_sel = w_rb
+            break
+    assert w_sel is not None
+    wpos = w_sel > 0
+    valid = wpos[:, None] & base_valid
+    mbe = np.asarray(carry.mbe)
+    raw = (cand_err - mbe[:, None] if up else
+           mbe[:, None] - cand_err).astype(np.float32)
+    wsafe = np.where(wpos, w_sel, 1.0).astype(np.float32)[:, None]
+    vals = np.where(valid, (raw / wsafe).astype(np.float32),
+                    np.inf).astype(np.float32)
+
+    btc = (((n0 < cand_count) & wpos).sum() if up
+           else ((n0 > 0) & wpos).sum())
+    dist_ok = 1.2 <= float(consts.target)
+    rel = (0.05 if dist_ok else 0.01) if up else 0.0005
+    min_size_delta = 500.0 * rel
+    min_coeffs = int(np.float32(2.0 if up else 0.2) * np.float32(btc))
+
+    cum_np = np.asarray(cumdb3)
+    bits0_np = np.asarray(bits0)
+    prev = int(rd._est_size(rd._bits_at(cumdb3, bits0,
+                                        jnp.asarray(n0), nb), consts))
+    m, j, n_new, est, vthr = _legacy_select_np(
+        vals, valid, n0, cum_np, bits0_np, up, min_coeffs, prev,
+        min_size_delta, consts)
+
+    assert int(row[2]) == m
+    assert np.array_equal(n_new_dev, n_new)
+    assert int(row[4]) == est
+    assert row[3] == np.float32(vthr)
+
+
 def test_score_matches_reference_scalar():
     from guetzli_tpu.search.score import score_jpeg
     for dist, size, target in [(0.9, 1000, 1.0), (1.0, 1000, 1.0),
