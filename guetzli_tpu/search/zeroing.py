@@ -153,6 +153,28 @@ def _postprocess(err_seq, n_valid, steps, block_error_limit):
 ZEROING_CHUNK = 2048
 
 
+def _piece_sizes(n: int, chunk: int) -> list:
+    """Descending power-of-two piece sizes (floor 256) covering n blocks.
+    1262 -> [1024, 256] (18 pad rows) instead of one 2048 piece (786 pad
+    rows): every piece reuses an existing compiled variant, and a single
+    rounded-up piece is kept whenever its padding is small (<= half of
+    the piece the split would add)."""
+    out = []
+    rem = max(n, 1)
+    while rem > 0:
+        if rem >= chunk:
+            p = chunk
+        else:
+            down = 256
+            while down * 2 <= rem:
+                down *= 2
+            up = down if down >= rem else down * 2
+            p = up if up - rem <= down // 2 else down
+        out.append(p)
+        rem -= p
+    return out
+
+
 def run_chunked(kernel, args, limit, steps: int, lookahead: int,
                 chunk: int = ZEROING_CHUNK, n_valid=None,
                 new_model: bool = True):
@@ -160,14 +182,19 @@ def run_chunked(kernel, args, limit, steps: int, lookahead: int,
 
     Every call site (any image size, any batch-mode concatenation) lands in
     one of a handful of compiled executables per `steps` value: the block
-    axis is padded to the next power of two (capped at `chunk`) and split
-    into `chunk`-sized pieces. Padding rows are all-zero (no candidates,
-    n_valid = 0) so results are unaffected. limit: scalar or (N,).
+    axis is decomposed into power-of-two pieces (floor 256, cap `chunk`).
+    Padding rows are all-zero (no candidates, n_valid = 0) so results are
+    unaffected. limit: scalar or (N,).
 
     n_valid (optional, (N,) host ints): per-block candidate counts. Blocks
     are then sorted and bucketed so a block only pays for a greedy loop of
     length >= its own candidate count (64-step buckets) instead of the
-    global max — typically 2-3x less device work, identical results."""
+    global max — typically 2-3x less device work, identical results.
+
+    All kernel calls are dispatched asynchronously; device->host transfer
+    happens in ONE jax.device_get over every piece of every bucket (each
+    separate np.asarray pays the full link round trip — 3 pulls x 4
+    pieces measured ~0.3 s of a 0.9 s bees zeroing pass)."""
     n = args[0].shape[0]
     if n_valid is not None and n > 0:
         order = np.argsort(np.asarray(n_valid), kind="stable")
@@ -183,6 +210,7 @@ def run_chunked(kernel, args, limit, steps: int, lookahead: int,
         idx = np.zeros((n, steps), dtype=np.int32)
         err = np.full((n, steps), float(np.asarray(INF)), dtype=np.float32)
         cnt = np.zeros(n, dtype=np.int64)
+        spans = []          # (lo, hi, bucket_steps, device triples)
         lo = 0
         while lo < n:
             bucket_steps = min(
@@ -190,25 +218,35 @@ def run_chunked(kernel, args, limit, steps: int, lookahead: int,
             hi = int(np.searchsorted(nv_sorted, bucket_steps, "right"))
             hi = max(hi, lo + 1)
             sub = tuple(a[lo:hi] for a in args_sorted)
-            i, e, c = run_chunked(kernel, sub, limit_sorted[lo:hi],
-                                  bucket_steps, lookahead, chunk,
-                                  new_model=new_model)
-            idx[lo:hi, :bucket_steps] = i
-            err[lo:hi, :bucket_steps] = e
-            cnt[lo:hi] = c
+            outs = _dispatch_chunks(kernel, sub, limit_sorted[lo:hi],
+                                    bucket_steps, lookahead, chunk,
+                                    new_model)
+            spans.append((lo, hi, bucket_steps, outs))
             lo = hi
+        pulled = jax.device_get([s[3] for s in spans])
+        for (lo, hi, bsteps, _), outs_np in zip(spans, pulled):
+            i, e, c = _assemble(outs_np, hi - lo)
+            idx[lo:hi, :bsteps] = i
+            err[lo:hi, :bsteps] = e
+            cnt[lo:hi] = c
         return idx[inv], err[inv], cnt[inv]
 
-    if n < chunk:
-        c = 256
-        while c < n:
-            c *= 2
-        chunk = min(c, chunk)
+    outs = _dispatch_chunks(kernel, args, limit, steps, lookahead, chunk,
+                            new_model)
+    return _assemble(jax.device_get(outs), n)
+
+
+def _dispatch_chunks(kernel, args, limit, steps, lookahead, chunk,
+                     new_model):
+    """Dispatches one kernel call per power-of-two piece; returns the
+    device result triples without blocking."""
+    n = args[0].shape[0]
     limit_vec = jnp.broadcast_to(jnp.asarray(limit, jnp.float32), (n,))
     outs = []
-    for lo in range(0, max(n, 1), chunk):
-        hi = min(lo + chunk, n)
-        pad = chunk - (hi - lo)
+    lo = 0
+    for piece in _piece_sizes(n, chunk):
+        hi = min(lo + piece, n)
+        pad = piece - (hi - lo)
 
         def prep(a):
             part = jnp.asarray(a)[lo:hi]
@@ -221,9 +259,14 @@ def run_chunked(kernel, args, limit, steps: int, lookahead: int,
         lim = prep(limit_vec)
         outs.append(kernel(*chunk_args, lim, steps, lookahead,
                            new_model))
-    idx = np.concatenate([np.asarray(o[0]) for o in outs])[:n]
-    err = np.concatenate([np.asarray(o[1]) for o in outs])[:n]
-    cnt = np.concatenate([np.asarray(o[2]) for o in outs])[:n]
+        lo = hi
+    return outs
+
+
+def _assemble(outs_np, n):
+    idx = np.concatenate([o[0] for o in outs_np])[:n]
+    err = np.concatenate([o[1] for o in outs_np])[:n]
+    cnt = np.concatenate([o[2] for o in outs_np])[:n]
     return idx, err, cnt
 
 
