@@ -12,10 +12,11 @@ import jax
 import jax.numpy as jnp
 
 from guetzli_tpu.metric import malta
+from guetzli_tpu.metric import mask as mask_mod
 from guetzli_tpu.metric.frequencies import PsychoImage, separate_frequencies
-from guetzli_tpu.metric.mask import mask_psycho_image
+from guetzli_tpu.metric.mask import mask_activity_planes
 from guetzli_tpu.metric.opsin import opsin_dynamics_image
-from guetzli_tpu.ops.blur import blur
+from guetzli_tpu.ops.blur import blur, blur_multi
 
 HF_ASYMMETRY = 0.8
 
@@ -125,8 +126,22 @@ def diffmap_psycho_image(pi0: PsychoImage, pi1: PsychoImage,
     wmul = (0.0, 32.4449876135, 0.0, 0.0, 0.0, 0.0,
             1.01370836411, 0.0, 1.74566011615)
 
-    ac1 = ac1 + same_noise_levels(pi0.hf[1], pi1.hf[1], 10.6666499623,
-                                  884.809801415, 85.7047444518, valid_hw)
+    # The SameNoiseLevels blur (sigma 10.67) and the three mask blurs
+    # (r0/r1/r2) are all independent given hf/uhf: batch the four into ONE
+    # multi-sigma matmul blur (reference runs them as separate Blur()s,
+    # butteraugli.cc:888, :1757-1759).
+    snl_sigma, snl_w, snl_maxclamp = 10.6666499623, 884.809801415, \
+        85.7047444518
+    v0 = jnp.minimum(jnp.abs(pi0.hf[1]), snl_maxclamp)
+    v1 = jnp.minimum(jnp.abs(pi1.hf[1]), snl_maxclamp)
+    act0, act1 = mask_activity_planes(pi0, pi1)
+    diff_x = mask_mod.diff_precompute(act0[0], act1[0], valid_hw)
+    diff_y = mask_mod.diff_precompute(act0[1], act1[1], valid_hw)
+    blurred4 = blur_multi(
+        jnp.stack([v0 - v1, diff_x, diff_y, diff_y]),
+        ((snl_sigma, 0.0),) + mask_mod.MASK_BLUR_SPECS, valid_hw)
+    snl_diff = blurred4[0]
+    ac1 = ac1 + snl_w * snl_diff * snl_diff
 
     # L2 terms.
     ac0 = ac0 + l2_diff_asymmetric(pi0.hf[0], pi1.hf[0], wmul[0] * ha,
@@ -140,7 +155,8 @@ def diffmap_psycho_image(pi0: PsychoImage, pi1: PsychoImage,
     dc[1] = dc[1] + l2_diff(pi0.lf[1], pi1.lf[1], wmul[7])
     dc[2] = dc[2] + l2_diff(pi0.lf[2], pi1.lf[2], wmul[8])
 
-    mask_ac, mask_dc = mask_psycho_image(pi0, pi1, valid_hw)
+    mask_ac, mask_dc = mask_mod.mask_from_blurred(
+        blurred4[1], blurred4[2], blurred4[3])
 
     combined = (mask_dc[0] * dc[0] + mask_dc[1] * dc[1] + mask_dc[2] * dc[2]
                 + mask_ac[0] * ac0 + mask_ac[1] * ac1 + mask_ac[2] * ac2)

@@ -72,11 +72,9 @@ def separate_frequencies(xyb: jax.Array, valid_hw=None) -> PsychoImage:
     lf = blur(xyb, SIGMA_LF, BORDER_LF, valid_hw)
     res = xyb - lf
 
-    # B channel keeps everything else in mf.
-    mf_b = blur(res[2], SIGMA_HF, BORDER_MF, valid_hw)
-
-    mf_x_blur = blur(res[0], SIGMA_HF, BORDER_MF, valid_hw)
-    mf_y_blur = blur(res[1], SIGMA_HF, BORDER_MF, valid_hw)
+    # One batched (3, H, W) blur instead of three per-plane calls.
+    mf_blur = blur(res, SIGMA_HF, BORDER_MF, valid_hw)
+    mf_x_blur, mf_y_blur, mf_b = mf_blur[0], mf_blur[1], mf_blur[2]
     hf_x = res[0] - mf_x_blur
     hf_y = res[1] - mf_y_blur
     w0 = 0.120079806822
@@ -95,11 +93,12 @@ def separate_frequencies(xyb: jax.Array, valid_hw=None) -> PsychoImage:
     k_mul_s_uhf = 1.76905001176
     k_reg_uhf = 2000 * 0.310148420674
 
-    hf_x_blur = blur(hf_x, SIGMA_UHF, BORDER_HF, valid_hw)
+    hf_xy_blur = blur(jnp.stack([hf_x, hf_y]), SIGMA_UHF, BORDER_HF,
+                      valid_hw)
+    hf_x_blur, hf_y_blur = hf_xy_blur[0], hf_xy_blur[1]
     uhf_x = hf_x - hf_x_blur
     hf_x = remove_range_around_zero(k_remove_hf, hf_x_blur)
 
-    hf_y_blur = blur(hf_y, SIGMA_UHF, BORDER_HF, valid_hw)
     uhf_y = hf_y - hf_y_blur
     hf_y2 = maximum_clamp(hf_y_blur, k_maxclamp_hf)
     uhf_y = maximum_clamp(uhf_y, k_maxclamp_uhf)

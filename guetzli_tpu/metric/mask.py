@@ -13,7 +13,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from guetzli_tpu.ops.blur import blur
+from guetzli_tpu.ops.blur import blur_multi
 
 GLOBAL_SCALE = 1.0 / 20.35  # kGlobalScale (butteraugli.cc:138-139)
 
@@ -125,23 +125,34 @@ def diff_precompute(p0: jax.Array, p1: jax.Array,
     return jnp.minimum(out, cutoff)
 
 
+MASK_R0 = 2.3770330432
+MASK_R1 = 9.04353323561
+MASK_R2 = 9.24456601467
+MASK_BORDER_RATIO = -0.0724948220913
+MASK_BLUR_SPECS = ((MASK_R2, MASK_BORDER_RATIO), (MASK_R0, MASK_BORDER_RATIO),
+                   (MASK_R1, MASK_BORDER_RATIO))
+
+
 def mask(mask_xyb0: jax.Array, mask_xyb1: jax.Array, valid_hw=None):
-    """(3, H, W) activity images (only X, Y used) -> (mask, mask_dc), each
-    (3, H, W)."""
-    r0 = 2.3770330432
-    r1 = 9.04353323561
-    r2 = 9.24456601467
-    border_ratio = -0.0724948220913
+    """(>=2, H, W) activity images (only X=0, Y=1 used) -> (mask, mask_dc),
+    each (3, H, W)."""
+    diff_x = diff_precompute(mask_xyb0[0], mask_xyb1[0], valid_hw)
+    diff_y = diff_precompute(mask_xyb0[1], mask_xyb1[1], valid_hw)
+    # One batched multi-sigma blur for the three mask passes.
+    blurred = blur_multi(jnp.stack([diff_x, diff_y, diff_y]),
+                         MASK_BLUR_SPECS, valid_hw)
+    return mask_from_blurred(blurred[0], blurred[1], blurred[2])
+
+
+def mask_from_blurred(b_r2: jax.Array, b_r0: jax.Array, b_r1: jax.Array):
+    """The post-blur mask math; split out so callers can batch the three
+    mask blurs with other same-stage blurs (reference butteraugli.cc:
+    1741-1817 after the Blur() calls)."""
     muls0 = 0.207017089891
     muls1 = 0.267138152891
     normalizer = 1.0 / (muls0 + muls1)
-
-    diff_x = diff_precompute(mask_xyb0[0], mask_xyb1[0], valid_hw)
-    s0 = blur(diff_x, r2, border_ratio, valid_hw)
-
-    diff_y = diff_precompute(mask_xyb0[1], mask_xyb1[1], valid_hw)
-    s1 = normalizer * (muls0 * blur(diff_y, r0, border_ratio, valid_hw)
-                       + muls1 * blur(diff_y, r1, border_ratio, valid_hw))
+    s0 = b_r2
+    s1 = normalizer * (muls0 * b_r0 + muls1 * b_r1)
 
     mul0 = 16.6963293877
     mul1 = 2.1364621982
@@ -163,18 +174,23 @@ def mask(mask_xyb0: jax.Array, mask_xyb1: jax.Array, valid_hw=None):
     return out_mask, out_mask_dc
 
 
-def mask_psycho_image(pi0, pi1, valid_hw=None):
-    """Combine uhf+hf into the activity image and mask it
-    (reference butteraugli.cc:753-782)."""
+def mask_activity_planes(pi0, pi1):
+    """Combine uhf+hf into the two activity images
+    (reference butteraugli.cc:753-782). Only X and Y planes are produced
+    (the B plane is identically zero and unused by mask())."""
     muls = (0.0, 1.64178305129, 0.831081703362, 3.23680933546)
     act0 = jnp.stack([
         muls[0] * pi0.uhf[0] + muls[1] * pi0.hf[0],
         muls[2] * pi0.uhf[1] + muls[3] * pi0.hf[1],
-        jnp.zeros_like(pi0.hf[0]),
     ])
     act1 = jnp.stack([
         muls[0] * pi1.uhf[0] + muls[1] * pi1.hf[0],
         muls[2] * pi1.uhf[1] + muls[3] * pi1.hf[1],
-        jnp.zeros_like(pi1.hf[0]),
     ])
+    return act0, act1
+
+
+def mask_psycho_image(pi0, pi1, valid_hw=None):
+    """Activity images -> (mask, mask_dc) (reference butteraugli.cc:753-782)."""
+    act0, act1 = mask_activity_planes(pi0, pi1)
     return mask(act0, act1, valid_hw)

@@ -1,19 +1,24 @@
-"""Butteraugli's quasi-Gaussian blur as XLA separable convolutions.
+"""Butteraugli's quasi-Gaussian blur, MXU matmul form (conv fallback).
 
 Semantics follow the reference (third_party/butteraugli/butteraugli.cc:
 145-233): truncated Gaussian kernel of radius max(1, int(2.25*|sigma|)),
 separable passes, and border renormalization that linearly interpolates
 between the in-range kernel mass and the full mass by `border_ratio`.
 
-Implementation: zero-padded 1-D convolution + division by a per-position
-weight vector (a compile-time constant), applied along each axis. This is
-mathematically identical to the reference's scaled-kernel interior +
-per-column border normalization, without its interior/border code split.
+Implementation: each separable pass is a banded-matrix product —
+``out = Mh @ img @ Mw^T`` with the border renormalization folded into
+the (compile-time constant) matrices. On TPU a C=1 1-D convolution pads
+the single feature channel to the full lane width (~99% of the VPU/MXU
+wasted) and needs two transposes per blur; the matmul form runs on the
+MXU at full K and needs none, and is mathematically identical (both are
+f32 sums of the same kernel-weighted terms). The conv path is kept as
+``GUETZLI_TPU_BLUR=conv`` for A/B tests.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -29,14 +34,25 @@ def _kernel_np(sigma: float) -> np.ndarray:
     return np.exp(scaler * i * i).astype(np.float32)
 
 
+def _in_range_mass_np(k: np.ndarray, size: int) -> np.ndarray:
+    """in_range[i] = sum of kernel taps that land inside [0, size) when the
+    kernel is centered at i. (np.convolve mode='same' is NOT usable here:
+    it returns length max(size, len(k)), wrong when the kernel is longer
+    than the axis.)"""
+    r = len(k) // 2
+    pref = np.concatenate([[0.0], np.cumsum(k)])
+    i = np.arange(size)
+    lo = np.clip(np.maximum(i - r, 0) - i + r, 0, len(k))
+    hi = np.clip(np.minimum(i + r + 1, size) - i + r, 0, len(k))
+    return pref[hi] - pref[lo]
+
+
 @functools.lru_cache(maxsize=1024)
 def _weights_np(sigma: float, size: int, border_ratio: float) -> np.ndarray:
     """Per-position normalization: (1-br) * in-range mass + br * full mass."""
     k = _kernel_np(sigma).astype(np.float64)
     full = k.sum()
-    in_range = np.convolve(np.ones(size), k, mode="same")
-    # np.convolve 'same' centers even/odd the same way as the reference's
-    # offset = len//2 for odd-length kernels (ours are always odd).
+    in_range = _in_range_mass_np(k, size)
     w = (1.0 - border_ratio) * in_range + border_ratio * full
     return (1.0 / w).astype(np.float32)
 
@@ -83,6 +99,57 @@ def _weights_dyn(sigma: float, size: int, border_ratio: float,
     return 1.0 / w
 
 
+@functools.lru_cache(maxsize=1024)
+def _band_mat_np(sigma: float, size: int, border_ratio=None) -> np.ndarray:
+    """(size, size) banded blur matrix for one separable pass.
+
+    Row i holds the kernel taps reaching position i (zero-pad border).
+    With border_ratio given, the per-position renormalization weight is
+    folded in (f64 throughout, one f32 cast at the end); with None the
+    matrix is the raw band (dynamic-valid path applies traced weights)."""
+    k = _kernel_np(sigma).astype(np.float64)
+    r = len(k) // 2
+    m = np.zeros((size, size), np.float64)
+    for i in range(size):
+        lo, hi = max(0, i - r), min(size, i + r + 1)
+        m[i, lo:hi] = k[lo - i + r:hi - i + r]
+    if border_ratio is not None:
+        full = k.sum()
+        in_range = _in_range_mass_np(k, size)
+        m *= (1.0 / ((1.0 - border_ratio) * in_range
+                     + border_ratio * full))[:, None]
+    return np.ascontiguousarray(m.astype(np.float32))
+
+
+def _blur_matmul(img: jax.Array, sigma: float, border_ratio: float,
+                 valid_hw) -> jax.Array:
+    hs, ws = img.shape[-2], img.shape[-1]
+    if valid_hw is None:
+        mh = jnp.asarray(_band_mat_np(sigma, hs, border_ratio))
+        mwt = jnp.asarray(_band_mat_np(sigma, ws, border_ratio).T)
+        return jnp.matmul(
+            mh, jnp.matmul(img, mwt, precision=jax.lax.Precision.HIGHEST),
+            precision=jax.lax.Precision.HIGHEST)
+    h, w = valid_hw
+    rowm = (jnp.arange(hs) < h).astype(img.dtype)
+    colm = (jnp.arange(ws) < w).astype(img.dtype)
+    x = img * rowm[..., :, None] * colm[..., None, :]
+    mh = jnp.asarray(_band_mat_np(sigma, hs))
+    mwt = jnp.asarray(_band_mat_np(sigma, ws).T)
+    out = jnp.matmul(
+        mh, jnp.matmul(x, mwt, precision=jax.lax.Precision.HIGHEST),
+        precision=jax.lax.Precision.HIGHEST)
+    # Per-position renormalization at the TRUE borders. inv_w is constant
+    # within a column and the row pass mixes only rows, so applying both
+    # vectors after the two products equals applying each between passes.
+    inv_w = _weights_dyn(sigma, ws, border_ratio, w).astype(img.dtype)
+    inv_h = _weights_dyn(sigma, hs, border_ratio, h).astype(img.dtype)
+    return out * inv_h[..., :, None] * inv_w[..., None, :]
+
+
+_BLUR_IMPL = os.environ.get("GUETZLI_TPU_BLUR", "matmul")
+
+
 def blur(img: jax.Array, sigma: float, border_ratio: float = 0.0,
          valid_hw=None) -> jax.Array:
     """Blur of (..., H, W) planes; H, W compile-time static.
@@ -94,6 +161,51 @@ def blur(img: jax.Array, sigma: float, border_ratio: float = 0.0,
     border, so valid-region results equal an unpadded computation (modulo
     f32 weight evaluation). This is what makes one compiled executable
     serve every image size in a bucket."""
+    if _BLUR_IMPL == "matmul":
+        return _blur_matmul(img, sigma, border_ratio, valid_hw)
+    return _blur_conv(img, sigma, border_ratio, valid_hw)
+
+
+def blur_multi(planes: jax.Array, specs, valid_hw=None) -> jax.Array:
+    """Blur each (H, W) plane of a (P, H, W) stack with its OWN
+    (sigma, border_ratio) from `specs`, as ONE batched matmul pair.
+
+    Independent blurs at different sigmas (the mask's r0/r1/r2 passes,
+    reference butteraugli.cc:1757-1759, and the SameNoiseLevels blur) are
+    per-op-overhead-bound when issued separately; with per-plane banded
+    matrices they are a single (P, H, H) x (P, H, W) x (P, W, W) einsum
+    on the MXU. Falls back to per-plane `blur` under GUETZLI_TPU_BLUR=conv.
+    """
+    if _BLUR_IMPL != "matmul":
+        return jnp.stack([blur(planes[i], s, br, valid_hw)
+                          for i, (s, br) in enumerate(specs)])
+    hs, ws = planes.shape[-2], planes.shape[-1]
+    hp = jax.lax.Precision.HIGHEST
+    if valid_hw is None:
+        mh = jnp.stack([jnp.asarray(_band_mat_np(s, hs, br))
+                        for s, br in specs])
+        mwt = jnp.stack([jnp.asarray(_band_mat_np(s, ws, br).T)
+                         for s, br in specs])
+        return jnp.einsum("phk,pkv->phv", mh,
+                          jnp.einsum("phw,pwv->phv", planes, mwt,
+                                     precision=hp), precision=hp)
+    h, w = valid_hw
+    rowm = (jnp.arange(hs) < h).astype(planes.dtype)
+    colm = (jnp.arange(ws) < w).astype(planes.dtype)
+    x = planes * rowm[:, None] * colm[None, :]
+    mh = jnp.stack([jnp.asarray(_band_mat_np(s, hs)) for s, _ in specs])
+    mwt = jnp.stack([jnp.asarray(_band_mat_np(s, ws).T) for s, _ in specs])
+    out = jnp.einsum("phk,pkv->phv", mh,
+                     jnp.einsum("phw,pwv->phv", x, mwt, precision=hp),
+                     precision=hp)
+    inv_w = jnp.stack([_weights_dyn(s, ws, br, w) for s, br in specs])
+    inv_h = jnp.stack([_weights_dyn(s, hs, br, h) for s, br in specs])
+    return out * inv_h[:, :, None].astype(out.dtype) \
+               * inv_w[:, None, :].astype(out.dtype)
+
+
+def _blur_conv(img: jax.Array, sigma: float, border_ratio: float,
+               valid_hw) -> jax.Array:
     hs, ws = img.shape[-2], img.shape[-1]
     k = _kernel_np(sigma)
     if valid_hw is None:

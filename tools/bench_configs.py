@@ -95,6 +95,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--mpix8", action="store_true")
+    ap.add_argument("--batch100", action="store_true",
+                    help="batch of 100 mixed 1-4 MPix images (hours)")
+    ap.add_argument("--panorama", action="store_true",
+                    help="~16 MPix single image (compiles its bucket)")
     ap.add_argument("--oracle-encode", action="store_true",
                     help="also run the reference encoder for size parity"
                          " (~1 CPU-min per MPix per config)")
@@ -176,6 +180,40 @@ def main():
     if args.mpix8:
         big = mosaic(bees, 2160, 3840)       # 8.3 MPix
         run_single("mpix8_420_q95", big, 95, Params(force_420=True))
+
+    if args.panorama:
+        # BASELINE.md "16 MPix panorama": extreme-aspect single image.
+        pano = mosaic(bees, 1888, 8704)      # 16.4 MPix
+        run_single("panorama16_q95", pano, 95)
+
+    if args.batch100:
+        # BASELINE.md "batch of 100 mixed 1-4 MPix": 4 sizes x 25, all
+        # on the bucket ladder, interleaved so no two same-size images
+        # are adjacent (exercises per-bucket executable reuse).
+        sizes = [(864, 1200), (1200, 1504), (1504, 1888), (1504, 2368)]
+        rng_b = np.random.default_rng(7)
+        pool = []
+        for i in range(100):
+            h, w = sizes[i % 4]
+            img = mosaic(bees, h, w)
+            img = np.clip(img.astype(np.int16)
+                          + rng_b.integers(-4, 5, img.shape), 0,
+                          255).astype(np.uint8)
+            pool.append(img)
+        mpix_total = sum(im.shape[0] * im.shape[1] for im in pool) / 1e6
+        # warm the four buckets once (not timed)
+        process_batch(pool[:4], quality=95)
+        t0 = time.time()
+        outs = process_batch(pool, quality=95)
+        dt = round(time.time() - t0, 2)
+        assert all(o for o in outs)
+        results["batch100_q95"] = {
+            "mpix": round(mpix_total, 3), "seconds": dt,
+            "mpix_per_s": round(mpix_total / dt, 4),
+            "n_images": len(pool),
+            "bytes_head": [len(o) for o in outs[:4]]}
+        print("batch100_q95", json.dumps(results["batch100_q95"]),
+              flush=True)
 
     outp = pathlib.Path(args.out)
     outp.parent.mkdir(exist_ok=True)
