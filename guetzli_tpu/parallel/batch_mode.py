@@ -172,6 +172,75 @@ def _delta_handler(payloads: List[dict], cache: dict) -> List[tuple]:
     return results
 
 
+def _refine_lanes(cfg) -> int:
+    """Fixed vmap lane count for a refine cfg — a pure function of cfg so
+    batch-mode outputs stay DETERMINISTIC: every chunk of this cfg runs in
+    the same executable regardless of how many images happen to be in
+    flight (vmap lanes are numerically isolated, so a lane's trajectory
+    depends only on its own image; timing then changes nothing). Scaled
+    down for big canvases to bound device memory."""
+    return max(1, min(8, 16_777_216 // (cfg.width * cfg.height)))
+
+
+def _refine_handler(payloads: List[dict], cache: dict) -> List[tuple]:
+    """Cross-image batched refine chunks. payload keys: carry (device
+    RefineCarry), consts (device RefineConsts), cfg (RefineCfg, the group
+    key), uid (stable per-image id for the pi0 stack cache). Returns
+    (new_carry, pulled_np) per payload.
+
+    Images sharing a size/steps bucket run their chunks in ONE vmapped
+    device program (refine_device.refine_chunk_batch): the per-iteration
+    compare is dispatch-overhead-bound at typical sizes, so a full group
+    costs far less than its members run singly. Groups always pad to the
+    cfg's fixed lane count (see _refine_lanes) — determinism. The
+    per-image pi0 trees are chunk-invariant and cached stacked; the rest
+    of consts restacks each chunk (entropy fields refresh at chunk
+    boundaries)."""
+    from guetzli_tpu.search import refine_device as rd
+
+    groups: Dict[tuple, List[int]] = {}
+    for i, p in enumerate(payloads):
+        groups.setdefault(p["cfg"], []).append(i)
+
+    results: List[Optional[tuple]] = [None] * len(payloads)
+    for cfg, idxs in groups.items():
+        lanes = _refine_lanes(cfg)
+        if lanes == 1:
+            # big-canvas cfgs: the unbatched executable (also what
+            # single-image mode runs, so outputs match it byte-for-byte)
+            for i in idxs:
+                p = payloads[i]
+                carry, pulled = rd.refine_chunk(p["carry"], p["consts"],
+                                                cfg)
+                results[i] = (carry, np.asarray(pulled))
+            continue
+        for start in range(0, len(idxs), lanes):
+            sub = idxs[start:start + lanes]
+            ps = [payloads[i] for i in sub]
+            ps_p = ps + [ps[-1]] * (lanes - len(ps))
+            pi_key = ("refine_pi0", cfg) + tuple(p["uid"] for p in ps_p)
+            pi0s = cache.get(pi_key)
+            if pi0s is None:
+                if len(cache) > 64:
+                    cache.clear()
+                pi0s = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                    *[p["consts"].pi0 for p in ps_p])
+                cache[pi_key] = pi0s
+            constss = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[p["consts"]._replace(pi0=()) for p in ps_p])
+            constss = constss._replace(pi0=pi0s)
+            carrys = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                  *[p["carry"] for p in ps_p])
+            carry_b, pulled_b = rd.refine_chunk_batch(carrys, constss,
+                                                      cfg)
+            pulled_np = np.asarray(pulled_b)           # one pull
+            for j, i in enumerate(sub):
+                carry_i = jax.tree.map(lambda x: x[j], carry_b)
+                results[i] = (carry_i, pulled_np[j])
+    return results
+
+
 def _zeroing_handler(payloads: List[dict], cache: dict) -> List[tuple]:
     """Concatenated zeroing kernel. payload keys: comp_mask, args (tuple of
     (N, ...) arrays), limit (float), steps, lookahead, n."""
@@ -214,16 +283,20 @@ def _zeroing_handler(payloads: List[dict], cache: dict) -> List[tuple]:
 
 
 def make_batcher(timeout: float = 0.5) -> DeviceBatcher:
-    # max_group=1: empirically the vmapped multi-image executables run far
-    # slower per image than the single-image ones on this backend, while
-    # concurrent singleton flushes (one in flight per worker thread) hide
-    # the link latency completely. The batcher still serializes access and
-    # isolates failures; grouping stays available for zeroing-style concat
-    # kernels if max_group is raised.
+    # Per-kind grouping: the on-device refine chunks and the zeroing
+    # kernels batch across images (dispatch-overhead-bound — a group of 8
+    # costs far less than 8 singles); the legacy fused/delta compares
+    # stay singleton (measured slower vmapped on this backend, and the
+    # engine path has replaced them in the hot loop), overlapping via
+    # concurrent flushes instead.
+    group_caps = {"refine": 8, "zeroing": 8, "fused": 1, "delta": 1}
+    if os.environ.get("GUETZLI_TPU_NO_GROUPING"):
+        group_caps = {k: 1 for k in group_caps}
     return DeviceBatcher({"fused": _fused_handler,
                           "delta": _delta_handler,
-                          "zeroing": _zeroing_handler}, timeout=timeout,
-                         max_group=1)
+                          "zeroing": _zeroing_handler,
+                          "refine": _refine_handler}, timeout=timeout,
+                         max_group=group_caps)
 
 
 def process_batch(inputs: Sequence, quality: float = 95.0,

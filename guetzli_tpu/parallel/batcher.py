@@ -32,10 +32,15 @@ class DeviceBatcher:
     """
 
     def __init__(self, handlers: Dict[str, Callable[..., List[Any]]],
-                 timeout: float = 0.05, max_group: int = 8):
+                 timeout: float = 0.05, max_group=8):
+        """max_group: int, or dict kind -> int (missing kinds default 1).
+        Kinds with max_group 1 flush as singletons (requests overlap via
+        concurrent flushes); kinds with a larger cap wait up to `timeout`
+        to coalesce into one grouped handler call."""
         self._handlers = handlers
         self._timeout = timeout
-        self._max_group = max_group
+        self._max_group = (max_group if isinstance(max_group, dict)
+                           else {k: max_group for k in handlers})
         self._cv = threading.Condition()
         self._active = 0
         self._pending: List[dict] = []
@@ -55,8 +60,15 @@ class DeviceBatcher:
     def close(self) -> None:
         pass  # no dispatcher threads to stop
 
-    def _group_target(self) -> int:
-        return max(1, min(self._max_group, (self._active + 1) // 2))
+    def _group_target(self, kind: str) -> int:
+        cap = self._max_group.get(kind, 1)
+        if cap <= 1:
+            return 1
+        # Grouped kinds aim for every active worker (lockstep images all
+        # arrive within ms of each other once groups synchronize them);
+        # the per-request deadline flushes a partial group when phases
+        # are misaligned, so a high target costs at most `timeout`.
+        return max(1, min(cap, self._active))
 
     def submit(self, kind: str, payload: Any) -> Any:
         req = {"kind": kind, "payload": payload, "done": False,
@@ -67,13 +79,16 @@ class DeviceBatcher:
             deadline = time.monotonic() + self._timeout
             while not req["done"]:
                 batch = None
-                if (len(self._pending) >= self._group_target()
+                mine = [r for r in self._pending if r["kind"] == kind]
+                if (len(mine) >= self._group_target(kind)
                         or time.monotonic() >= deadline):
                     # identity check: payload dicts hold numpy arrays, so
                     # `in` (== comparison) would be ambiguous
-                    if any(r is req for r in self._pending):
-                        batch = self._pending
-                        self._pending = []
+                    if any(r is req for r in mine):
+                        batch = mine
+                        keep = [r for r in self._pending
+                                if r["kind"] != kind]
+                        self._pending = keep
                 if batch is not None:
                     self._execute(batch)   # releases the lock inside
                     # _execute completes this request; loop exits next pass

@@ -854,7 +854,15 @@ class Processor:
                                  for k, v in refreshed.items()}
                 consts = consts._replace(**refreshed)
                 with _Phase("refine_chunk"):
-                    carry, pulled = rd.refine_chunk(carry, consts, cfg)
+                    if self.batcher is not None and sp_mesh is None:
+                        # batch mode: chunks from same-bucket images
+                        # coalesce into one vmapped device program
+                        carry, pulled = self.batcher.submit("refine", {
+                            "carry": carry, "consts": consts, "cfg": cfg,
+                            "uid": self.comparator.uid})
+                    else:
+                        carry, pulled = rd.refine_chunk(carry, consts,
+                                                        cfg)
                     logs, summary, cur_n = rd.unpack_chunk_result(
                         pulled, cfg.k_iters)
                 for row in logs:

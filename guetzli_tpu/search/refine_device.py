@@ -568,6 +568,26 @@ def refine_chunk(carry: RefineCarry, consts: RefineConsts,
     """Runs up to cfg.k_iters refinement iterations on device. Returns
     (carry, logs (K, 8)) where each log row is [active, direction, m,
     val_threshold, est_size, dist, rblock, blocks_to_change]."""
+    return _refine_chunk_impl(carry, consts, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def refine_chunk_batch(carrys: RefineCarry, constss: RefineConsts,
+                       cfg: RefineCfg):
+    """Cross-image batched chunk: every leaf of carrys/constss has a
+    leading image axis (images must share cfg, i.e. the same size bucket
+    and steps bucket). One device program runs all images' chunks in
+    lockstep — per-op dispatch overhead is paid once per op for the whole
+    group instead of once per image (the per-image tensors are far too
+    small to saturate the VPU/MXU). Lanes whose phase is already done
+    halt via _iteration's guard, so a mixed group costs the max, not the
+    sum, of its members' live iterations."""
+    return jax.vmap(lambda ca, co: _refine_chunk_impl(ca, co, cfg))(
+        carrys, constss)
+
+
+def _refine_chunk_impl(carry: RefineCarry, consts: RefineConsts,
+                       cfg: RefineCfg):
     cumdb3, bits0 = _bits_curve(consts, cfg)
     db3 = cumdb3[:, 1:, :] - cumdb3[:, :-1, :]      # (N, steps, 3)
     logs0 = jnp.zeros((cfg.k_iters, 8), jnp.float32)

@@ -124,11 +124,14 @@ def test_quality_levels_vs_oracle(oracle, bees_rgb, tmp_path, quality):
     assert len(ours) <= ref_size * 1.02, (quality, len(ours), ref_size)
 
 
-def test_batch_mode_matches_single(bees_rgb):
+def test_batch_mode_matches_single(bees_rgb, monkeypatch):
+    """With cross-image grouping disabled, batch mode runs the same
+    executables as single-image mode: outputs byte-identical."""
     import guetzli_tpu
     from guetzli_tpu.config import ProcessStats
     from guetzli_tpu.parallel.batch_mode import process_batch
 
+    monkeypatch.setenv("GUETZLI_TPU_NO_GROUPING", "1")
     a = np.ascontiguousarray(bees_rgb[:64, :64])
     b = np.ascontiguousarray(bees_rgb[32:96, 64:128])
     outs = process_batch([a, b], quality=95)
@@ -136,6 +139,26 @@ def test_batch_mode_matches_single(bees_rgb):
     sb = guetzli_tpu.process(b, quality=95, stats=ProcessStats())
     assert outs[0] == sa
     assert outs[1] == sb
+
+
+def test_batch_mode_grouped_deterministic(bees_rgb):
+    """Grouped batch mode (vmapped cross-image refine chunks) must be
+    DETERMINISTIC: group membership depends on thread timing, so the
+    handler pads every group of a cfg to the same fixed lane count and
+    vmap lanes are numerically isolated — two runs, any interleaving,
+    same bytes. (Grouped outputs may differ from single-mode bytes by
+    f32 scheduling of the batched executable; the distance/size contract
+    for grouped mode is covered by test_corpus.py, which runs through
+    process_batch.)"""
+    from guetzli_tpu.parallel.batch_mode import process_batch
+
+    a = np.ascontiguousarray(bees_rgb[:64, :64])
+    b = np.ascontiguousarray(bees_rgb[32:96, 64:128])
+    outs1 = process_batch([a, b, a], quality=95)
+    outs2 = process_batch([b, a], quality=95, timeout=0.05)
+    assert outs1[0] == outs2[1]          # same image, different batch mix
+    assert outs1[1] == outs2[0]
+    assert outs1[2] == outs1[0]
 
 
 def test_batch_mode_isolates_failures(bees_rgb):
