@@ -26,6 +26,17 @@ import jax.numpy as jnp
 from guetzli_tpu.parallel.batcher import DeviceBatcher
 
 
+def _placement_of(tree) -> tuple:
+    """Stable device-placement key of a pytree of device arrays (images
+    assigned to different dp submeshes must never share one stacked
+    device call)."""
+    leaf = jax.tree.leaves(tree)[0]
+    try:
+        return tuple(sorted(d.id for d in leaf.devices()))
+    except AttributeError:           # numpy leaf: default placement
+        return ()
+
+
 def _fused_handler(payloads: List[dict], cache: dict
                    ) -> List[Tuple[float, object, np.ndarray]]:
     """Batched fused compare. payload keys: coeffs (list of np arrays),
@@ -34,16 +45,17 @@ def _fused_handler(payloads: List[dict], cache: dict
     from guetzli_tpu.metric.comparator import (_compare_coeffs_fused,
                                                _compare_coeffs_fused_batch)
 
-    # Group by everything static + coefficient shapes.
+    # Group by everything static + coefficient shapes + device placement
+    # (images on different dp submeshes cannot stack into one call).
     groups: Dict[tuple, List[int]] = {}
     for i, p in enumerate(payloads):
         key = (p["width"], p["height"], p["factors"], p["wfactor"],
-               tuple(c.shape for c in p["coeffs"]))
+               tuple(c.shape for c in p["coeffs"]), _placement_of(p["pi0"]))
         groups.setdefault(key, []).append(i)
 
     results: List[Optional[tuple]] = [None] * len(payloads)
     for key, idxs in groups.items():
-        width, height, factors, wfactor, _ = key
+        width, height, factors, wfactor, _, _placement = key
         if len(idxs) == 1:
             p = payloads[idxs[0]]
             same = all(c.shape == p["coeffs"][0].shape
@@ -112,12 +124,12 @@ def _delta_handler(payloads: List[dict], cache: dict) -> List[tuple]:
     groups: Dict[tuple, List[int]] = {}
     for i, p in enumerate(payloads):
         key = (p["width"], p["height"], p["shapes"], p["factors"],
-               p["wfactor"])
+               p["wfactor"], _placement_of(p["pi0"]))
         groups.setdefault(key, []).append(i)
 
     results: List[Optional[tuple]] = [None] * len(payloads)
     for key, idxs in groups.items():
-        width, height, shapes, factors, wfactor = key
+        width, height, shapes, factors, wfactor, _placement = key
         # re-pad every member to the group's max K so the whole group
         # shares one executable (idempotent repeats of the last pair)
         kmax = max(len(payloads[i]["idx"]) for i in idxs)
@@ -200,10 +212,11 @@ def _refine_handler(payloads: List[dict], cache: dict) -> List[tuple]:
 
     groups: Dict[tuple, List[int]] = {}
     for i, p in enumerate(payloads):
-        groups.setdefault(p["cfg"], []).append(i)
+        groups.setdefault((p["cfg"], _placement_of(p["consts"].pi0)),
+                          []).append(i)
 
     results: List[Optional[tuple]] = [None] * len(payloads)
-    for cfg, idxs in groups.items():
+    for (cfg, _placement), idxs in groups.items():
         lanes = _refine_lanes(cfg)
         if lanes == 1:
             # big-canvas cfgs: the unbatched executable (also what
@@ -251,11 +264,15 @@ def _zeroing_handler(payloads: List[dict], cache: dict) -> List[tuple]:
                6: zeroing.compute_zeroing_order_420_chroma}
     groups: Dict[tuple, List[int]] = {}
     for i, p in enumerate(payloads):
+        # placement: images on different dp submeshes cannot share one
+        # device call (concatenating across submeshes is an error)
         groups.setdefault((p["comp_mask"], p["steps"], p["lookahead"],
-                           p.get("new_model", True)), []).append(i)
+                           p.get("new_model", True),
+                           p.get("placement")), []).append(i)
 
     results: List[Optional[tuple]] = [None] * len(payloads)
-    for (comp_mask, steps, lookahead, new_model), idxs in groups.items():
+    for (comp_mask, steps, lookahead, new_model,
+         _placement), idxs in groups.items():
         kernel = kernels[comp_mask]
         ps = [payloads[i] for i in idxs]
         nargs = len(ps[0]["args"])

@@ -367,11 +367,16 @@ class Processor:
             raise ValueError(f"unsupported comp_mask {comp_mask}")
         _tz = _Phase("zeroing_pass"); _tz.__enter__()
         if getattr(self, "batcher", None) is not None:
+            from guetzli_tpu.parallel import runtime as prt
+            spm = prt.current_sp_mesh()
+            placement = (None if spm is None else
+                         tuple(d.id for d in spm.devices.flat))
             idx_seq, err_seq, counts = self.batcher.submit("zeroing", {
                 "comp_mask": comp_mask, "args": zargs,
                 "limit": float(limit), "steps": steps,
                 "lookahead": lookahead, "n": num_blocks,
                 "n_valid": nvalid_blocks,
+                "placement": placement,
                 "new_model": self.params.new_zeroing_model})
         else:
             kernel = {7: zeroing.compute_zeroing_order_batch,
