@@ -149,6 +149,20 @@ def _blur_matmul(img: jax.Array, sigma: float, border_ratio: float,
 
 _BLUR_IMPL = os.environ.get("GUETZLI_TPU_BLUR", "matmul")
 
+# The banded-matmul form does (H+W)*H*W MACs per plane per blur vs the
+# conv's ~2*K*H*W: a huge win while the canvas is small enough to be
+# dispatch-overhead-bound, a loss (and a memory hog — the band matrices
+# are dense (S, S) constants) on multi-megapixel canvases. Crossover
+# bounds below keep bees/1 MPix buckets on the MXU and send 4+ MPix
+# panorama-class canvases to the conv path.
+_MATMUL_MAX_PIXELS = 3 << 20       # ~3.1 MPix canvas
+_MATMUL_MAX_DIM = 4096
+
+
+def _use_matmul(hs: int, ws: int) -> bool:
+    return (_BLUR_IMPL == "matmul" and hs * ws <= _MATMUL_MAX_PIXELS
+            and max(hs, ws) <= _MATMUL_MAX_DIM)
+
 
 def blur(img: jax.Array, sigma: float, border_ratio: float = 0.0,
          valid_hw=None) -> jax.Array:
@@ -161,7 +175,7 @@ def blur(img: jax.Array, sigma: float, border_ratio: float = 0.0,
     border, so valid-region results equal an unpadded computation (modulo
     f32 weight evaluation). This is what makes one compiled executable
     serve every image size in a bucket."""
-    if _BLUR_IMPL == "matmul":
+    if _use_matmul(img.shape[-2], img.shape[-1]):
         return _blur_matmul(img, sigma, border_ratio, valid_hw)
     return _blur_conv(img, sigma, border_ratio, valid_hw)
 
@@ -176,10 +190,10 @@ def blur_multi(planes: jax.Array, specs, valid_hw=None) -> jax.Array:
     matrices they are a single (P, H, H) x (P, H, W) x (P, W, W) einsum
     on the MXU. Falls back to per-plane `blur` under GUETZLI_TPU_BLUR=conv.
     """
-    if _BLUR_IMPL != "matmul":
+    hs, ws = planes.shape[-2], planes.shape[-1]
+    if not _use_matmul(hs, ws):
         return jnp.stack([blur(planes[i], s, br, valid_hw)
                           for i, (s, br) in enumerate(specs)])
-    hs, ws = planes.shape[-2], planes.shape[-1]
     hp = jax.lax.Precision.HIGHEST
     if valid_hw is None:
         mh = jnp.stack([jnp.asarray(_band_mat_np(s, hs, br))
