@@ -31,6 +31,43 @@ def test_blur_parity(bees_rgb, sigma, border):
     assert np.max(np.abs(ours - ref)) < 2e-3 * max(1.0, np.abs(ref).max())
 
 
+def test_blur_kernel_longer_than_axis(bees_rgb):
+    """Border renormalization when the kernel (41 taps at sigma 9.24)
+    is longer than the image axis — regression for the np.convolve
+    'same' length bug (returns max(size, len(k)) elements)."""
+    plane = to_linear(bees_rgb)[1][:24, :32]
+    sigma, border = 9.24456601467, -0.0724948220913
+    ref = oracle_util.blur(plane, sigma, border)
+    ours = np.asarray(blur_mod.blur(plane, sigma, border))
+    conv = np.asarray(blur_mod._blur_conv(plane, sigma, border, None))
+    tol = 2e-3 * max(1.0, np.abs(ref).max())
+    assert np.max(np.abs(ours - ref)) < tol
+    assert np.max(np.abs(conv - ref)) < tol
+
+
+def test_blur_multi_matches_per_plane(bees_rgb):
+    """blur_multi (one batched multi-sigma matmul pair) == per-plane
+    blur calls, static and dynamic-valid paths."""
+    import jax.numpy as jnp
+    planes = to_linear(bees_rgb)[:, :80, :96]
+    specs = ((9.24456601467, -0.0724948220913),
+             (2.3770330432, -0.0724948220913),
+             (10.6666499623, 0.0))
+    multi = np.asarray(blur_mod.blur_multi(jnp.asarray(planes), specs))
+    single = np.stack([np.asarray(blur_mod.blur(planes[i], s, br))
+                       for i, (s, br) in enumerate(specs)])
+    assert np.max(np.abs(multi - single)) < 1e-4 * max(
+        1.0, np.abs(single).max())
+    h, w = 70, 85
+    multi_d = np.asarray(blur_mod.blur_multi(
+        jnp.asarray(planes), specs, (jnp.int32(h), jnp.int32(w))))
+    single_d = np.stack(
+        [np.asarray(blur_mod.blur(planes[i, :h, :w], s, br))
+         for i, (s, br) in enumerate(specs)])
+    assert np.max(np.abs(multi_d[:, :h, :w] - single_d)) < 1e-4 * max(
+        1.0, np.abs(single_d).max())
+
+
 def test_opsin_parity(bees_rgb):
     lin = to_linear(bees_rgb)
     ref = oracle_util.opsin(bees_rgb)
