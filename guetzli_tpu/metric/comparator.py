@@ -253,6 +253,22 @@ def _compare_coeffs_fused(coeffs, pi0, target_distance, width, height,
                                 height, factors, wfactor)
 
 
+def _requant_compare_impl(base, q_batch, pi0, h, w, width, height,
+                          factors):
+    def one(q):
+        from guetzli_tpu.ops.quantize import quantize_nearest
+        if isinstance(base, tuple):
+            coeffs = tuple(quantize_nearest(base[c], q[c])
+                           for c in range(3))
+        else:
+            coeffs = quantize_nearest(base, q[:, None, None, :])
+        dmap = _diffmap_from_coeffs(coeffs, pi0, width, height, factors,
+                                    (h, w))
+        return jnp.max(dmap)
+
+    return jax.lax.map(one, q_batch)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "factors"))
 def _requant_compare_batch_dyn(base, q_batch, pi0, h, w, width, height,
                                factors):
@@ -269,18 +285,22 @@ def _requant_compare_batch_dyn(base, q_batch, pi0, h, w, width, height,
     a tuple of per-comp grids for 4:2:0; q_batch: (B, 3, 64) int32
     candidates. Returns (B,) f32 distances (requantize -> decode ->
     butteraugli max; weights are not needed by the quant search)."""
-    def one(q):
-        from guetzli_tpu.ops.quantize import quantize_nearest
-        if isinstance(base, tuple):
-            coeffs = tuple(quantize_nearest(base[c], q[c])
-                           for c in range(3))
-        else:
-            coeffs = quantize_nearest(base, q[:, None, None, :])
-        dmap = _diffmap_from_coeffs(coeffs, pi0, width, height, factors,
-                                    (h, w))
-        return jnp.max(dmap)
+    return _requant_compare_impl(base, q_batch, pi0, h, w, width, height,
+                                 factors)
 
-    return jax.lax.map(one, q_batch)
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "factors"))
+def _requant_compare_images(bases, q_batches, pi0s, hs, ws, width, height,
+                            factors):
+    """Cross-image batched twin: every arg gains a leading image axis
+    (same canvas bucket). The candidate axis stays a lax.map scan, so
+    each device step evaluates one candidate for ALL images — the
+    per-step compare is dispatch-overhead-bound, and images amortize
+    it (same rationale as refine_chunk_batch)."""
+    return jax.vmap(
+        lambda b, q, p, h, w: _requant_compare_impl(
+            b, q, p, h, w, width, height, factors)
+    )(bases, q_batches, pi0s, hs, ws)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "factors",
@@ -506,7 +526,17 @@ class ButteraugliComparatorTPU(Comparator):
 
     def compare_requant_batch(self, q_batch: np.ndarray) -> np.ndarray:
         """(B, 3, 64) int32 candidate quant matrices -> (B,) distances of
-        the requantized base state (one fused device call)."""
+        the requantized base state (one fused device call; in batch mode
+        same-bucket images' quant searches coalesce cross-image)."""
+        if getattr(self, "batcher", None) is not None \
+                and self.sp_mesh is None:
+            return self.batcher.submit("requant", {
+                "base": self._qs_base,
+                "q": np.asarray(q_batch, np.int32),
+                "pi0": self._pi0, "uid": self.uid,
+                "h": self.height, "w": self.width,
+                "wb": self.wb, "hb": self.hb,
+                "factors": self._qs_factors})
         dists = _requant_compare_batch_dyn(
             self._qs_base, jnp.asarray(q_batch, jnp.int32), self._pi0,
             jnp.int32(self.height), jnp.int32(self.width),

@@ -184,14 +184,26 @@ def _delta_handler(payloads: List[dict], cache: dict) -> List[tuple]:
     return results
 
 
+def _grouping_disabled() -> bool:
+    return bool(os.environ.get("GUETZLI_TPU_NO_GROUPING"))
+
+
+def _lanes_for_canvas(width: int, height: int) -> int:
+    """Fixed vmap lane count for a canvas — a pure function of the
+    compile config so batch-mode outputs stay DETERMINISTIC: every call
+    of a given cfg runs in the same executable regardless of how many
+    images happen to be in flight (vmap lanes are numerically isolated,
+    so a lane's trajectory depends only on its own image; timing then
+    changes nothing). Scaled down for big canvases to bound device
+    memory; 1 under GUETZLI_TPU_NO_GROUPING (the unbatched executables —
+    byte-identical to single-image mode)."""
+    if _grouping_disabled():
+        return 1
+    return max(1, min(8, 16_777_216 // (width * height)))
+
+
 def _refine_lanes(cfg) -> int:
-    """Fixed vmap lane count for a refine cfg — a pure function of cfg so
-    batch-mode outputs stay DETERMINISTIC: every chunk of this cfg runs in
-    the same executable regardless of how many images happen to be in
-    flight (vmap lanes are numerically isolated, so a lane's trajectory
-    depends only on its own image; timing then changes nothing). Scaled
-    down for big canvases to bound device memory."""
-    return max(1, min(8, 16_777_216 // (cfg.width * cfg.height)))
+    return _lanes_for_canvas(cfg.width, cfg.height)
 
 
 def _refine_handler(payloads: List[dict], cache: dict) -> List[tuple]:
@@ -254,6 +266,61 @@ def _refine_handler(payloads: List[dict], cache: dict) -> List[tuple]:
     return results
 
 
+def _requant_handler(payloads: List[dict], cache: dict) -> List[np.ndarray]:
+    """Cross-image batched speculative quant-search evaluations. payload
+    keys: base (device tree), q (nslots, 3, 64) np, pi0, uid, h, w,
+    wb, hb (canvas dims), factors. Returns (nslots,) distances per
+    payload. Groups pad to a fixed lane count (pure function of the
+    canvas) for determinism, exactly like _refine_handler."""
+    from guetzli_tpu.metric.comparator import (_requant_compare_batch_dyn,
+                                               _requant_compare_images)
+
+    def base_struct(b):
+        return (tuple(x.shape for x in b) if isinstance(b, tuple)
+                else b.shape)
+
+    groups: Dict[tuple, List[int]] = {}
+    for i, p in enumerate(payloads):
+        key = (p["wb"], p["hb"], p["factors"], p["q"].shape,
+               base_struct(p["base"]), _placement_of(p["pi0"]))
+        groups.setdefault(key, []).append(i)
+
+    results: List[Optional[np.ndarray]] = [None] * len(payloads)
+    for key, idxs in groups.items():
+        wb, hb, factors = key[0], key[1], key[2]
+        lanes = _lanes_for_canvas(wb, hb)
+        if lanes == 1:
+            for i in idxs:
+                p = payloads[i]
+                results[i] = np.asarray(_requant_compare_batch_dyn(
+                    p["base"], jnp.asarray(p["q"]), p["pi0"],
+                    jnp.int32(p["h"]), jnp.int32(p["w"]), wb, hb,
+                    factors))
+            continue
+        for start in range(0, len(idxs), lanes):
+            sub = idxs[start:start + lanes]
+            ps = [payloads[i] for i in sub]
+            ps_p = ps + [ps[-1]] * (lanes - len(ps))
+            pi_key = ("requant_pi0", key) + tuple(p["uid"] for p in ps_p)
+            pi0s = cache.get(pi_key)
+            if pi0s is None:
+                if len(cache) > 64:
+                    cache.clear()
+                pi0s = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                    *[p["pi0"] for p in ps_p])
+                cache[pi_key] = pi0s
+            bases = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                 *[p["base"] for p in ps_p])
+            qs = jnp.asarray(np.stack([p["q"] for p in ps_p]))
+            hs = jnp.asarray([p["h"] for p in ps_p], jnp.int32)
+            ws = jnp.asarray([p["w"] for p in ps_p], jnp.int32)
+            dists = np.asarray(_requant_compare_images(
+                bases, qs, pi0s, hs, ws, wb, hb, factors))
+            for j, i in enumerate(sub):
+                results[i] = dists[j]
+    return results
+
+
 def _zeroing_handler(payloads: List[dict], cache: dict) -> List[tuple]:
     """Concatenated zeroing kernel. payload keys: comp_mask, args (tuple of
     (N, ...) arrays), limit (float), steps, lookahead, n."""
@@ -306,13 +373,15 @@ def make_batcher(timeout: float = 0.5) -> DeviceBatcher:
     # stay singleton (measured slower vmapped on this backend, and the
     # engine path has replaced them in the hot loop), overlapping via
     # concurrent flushes instead.
-    group_caps = {"refine": 8, "zeroing": 8, "fused": 1, "delta": 1}
+    group_caps = {"refine": 8, "zeroing": 8, "requant": 8,
+                  "fused": 1, "delta": 1}
     if os.environ.get("GUETZLI_TPU_NO_GROUPING"):
         group_caps = {k: 1 for k in group_caps}
     return DeviceBatcher({"fused": _fused_handler,
                           "delta": _delta_handler,
                           "zeroing": _zeroing_handler,
-                          "refine": _refine_handler}, timeout=timeout,
+                          "refine": _refine_handler,
+                          "requant": _requant_handler}, timeout=timeout,
                          max_group=group_caps)
 
 
