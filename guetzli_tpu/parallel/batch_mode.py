@@ -374,7 +374,13 @@ def make_batcher(timeout: float = 0.5) -> DeviceBatcher:
     # engine path has replaced them in the hot loop), overlapping via
     # concurrent flushes instead.
     group_caps = {"refine": 8, "zeroing": 8, "requant": 8,
-                  "fused": 1, "delta": 1}
+                  # fused/delta default to singleton (their group path
+                  # uses pow-2 padding, so grouping them is NOT
+                  # deterministic across timings — measurement knob only)
+                  "fused": int(os.environ.get("GUETZLI_TPU_FUSED_CAP",
+                                              "1")),
+                  "delta": int(os.environ.get("GUETZLI_TPU_DELTA_CAP",
+                                              "1"))}
     if os.environ.get("GUETZLI_TPU_NO_GROUPING"):
         group_caps = {k: 1 for k in group_caps}
     return DeviceBatcher({"fused": _fused_handler,

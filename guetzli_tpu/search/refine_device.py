@@ -571,7 +571,7 @@ def refine_chunk(carry: RefineCarry, consts: RefineConsts,
     return _refine_chunk_impl(carry, consts, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def refine_chunk_batch(carrys: RefineCarry, constss: RefineConsts,
                        cfg: RefineCfg):
     """Cross-image batched chunk: every leaf of carrys/constss has a
