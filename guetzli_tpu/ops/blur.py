@@ -124,21 +124,19 @@ def _band_mat_np(sigma: float, size: int, border_ratio=None) -> np.ndarray:
 def _blur_matmul(img: jax.Array, sigma: float, border_ratio: float,
                  valid_hw) -> jax.Array:
     hs, ws = img.shape[-2], img.shape[-1]
+    hp = _mm_precision()
     if valid_hw is None:
         mh = jnp.asarray(_band_mat_np(sigma, hs, border_ratio))
         mwt = jnp.asarray(_band_mat_np(sigma, ws, border_ratio).T)
-        return jnp.matmul(
-            mh, jnp.matmul(img, mwt, precision=jax.lax.Precision.HIGHEST),
-            precision=jax.lax.Precision.HIGHEST)
+        return jnp.matmul(mh, jnp.matmul(img, mwt, precision=hp),
+                          precision=hp)
     h, w = valid_hw
     rowm = (jnp.arange(hs) < h).astype(img.dtype)
     colm = (jnp.arange(ws) < w).astype(img.dtype)
     x = img * rowm[..., :, None] * colm[..., None, :]
     mh = jnp.asarray(_band_mat_np(sigma, hs))
     mwt = jnp.asarray(_band_mat_np(sigma, ws).T)
-    out = jnp.matmul(
-        mh, jnp.matmul(x, mwt, precision=jax.lax.Precision.HIGHEST),
-        precision=jax.lax.Precision.HIGHEST)
+    out = jnp.matmul(mh, jnp.matmul(x, mwt, precision=hp), precision=hp)
     # Per-position renormalization at the TRUE borders. inv_w is constant
     # within a column and the row pass mixes only rows, so applying both
     # vectors after the two products equals applying each between passes.
@@ -148,6 +146,17 @@ def _blur_matmul(img: jax.Array, sigma: float, border_ratio: float,
 
 
 _BLUR_IMPL = os.environ.get("GUETZLI_TPU_BLUR", "matmul")
+
+
+def _mm_precision():
+    """MXU precision for the banded-matmul blurs. HIGHEST is exact-f32
+    (6-pass emulation on TPU); GUETZLI_TPU_BLUR_PRECISION=high selects
+    the 3-pass variant (~2x faster matmuls, ~1e-6 rel error) for
+    measurement runs."""
+    import jax as _jax
+    return (_jax.lax.Precision.HIGH
+            if os.environ.get("GUETZLI_TPU_BLUR_PRECISION") == "high"
+            else _jax.lax.Precision.HIGHEST)
 
 # The banded-matmul form does (H+W)*H*W MACs per plane per blur vs the
 # conv's ~2*K*H*W: a huge win while the canvas is small enough to be
@@ -194,7 +203,7 @@ def blur_multi(planes: jax.Array, specs, valid_hw=None) -> jax.Array:
     if not _use_matmul(hs, ws):
         return jnp.stack([blur(planes[i], s, br, valid_hw)
                           for i, (s, br) in enumerate(specs)])
-    hp = jax.lax.Precision.HIGHEST
+    hp = _mm_precision()
     if valid_hw is None:
         mh = jnp.stack([jnp.asarray(_band_mat_np(s, hs, br))
                         for s, br in specs])
