@@ -216,8 +216,10 @@ def _block_weights_all(dmap, target_distance, wfactor, width, height):
         "VALID"), 0.0)
 
     def dil3(x):
+        """3x3 max-dilation over the last two axes (any leading dims)."""
+        ones = (1,) * (x.ndim - 2)
         return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
-                                     (3, 3), (1, 1), "SAME")
+                                     ones + (3, 3), ones + (1, 1), "SAME")
 
     # mld_rb by incremental 3x3 max-dilation; chebyshev radius rb
     mlds = []
@@ -232,17 +234,20 @@ def _block_weights_all(dmap, target_distance, wfactor, width, height):
                                & (mlds[rb] <= 1.1 * target_distance),
                                1.0, 0.0))
     k_local = 0.5
-    for rb in range(4):
-        r = rb + 1                      # rblock = max chebyshev distance
-        trig = (mdpb > ((1 - k_local) * target_distance
-                        + k_local * mlds[rb])).astype(dmap.dtype)
-        w = trig                        # d = 0 term
-        t = trig
-        for d in range(1, r + 1):
-            t = dil3(t)
-            w = jnp.maximum(w, t / (d + 1.0))
-        grids.append(w)
-    return jnp.stack(grids)
+    # The four trigger planes dilate TOGETHER: one batched (4, bh, bw)
+    # dilation per distance step instead of 1+2+3+4 singles; plane rb
+    # stops accumulating past its own radius rb+1.
+    trig = jnp.stack([
+        (mdpb > ((1 - k_local) * target_distance
+                 + k_local * mlds[rb])).astype(dmap.dtype)
+        for rb in range(4)])
+    w = trig                            # d = 0 term
+    t = trig
+    for d in range(1, 5):
+        t = dil3(t)
+        live = (jnp.arange(4) >= d - 1).astype(dmap.dtype)[:, None, None]
+        w = jnp.maximum(w, live * t / (d + 1.0))
+    return jnp.concatenate([jnp.stack(grids), w])
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "factors",
