@@ -137,10 +137,15 @@ def _mask_self_dyn(xyb0, h, w):
 
 
 def _diffmap_from_coeffs(coeffs, pi0, width, height, factors,
-                         valid_hw=None):
+                         valid_hw=None, fused=False):
     """Coefficient state -> diffmap: pixel planes -> sRGB -> linear ->
     opsin -> frequency cascade -> psycho diffmap (the metric's forward
-    pass; reference butteraugli_comparator.cc:63-75)."""
+    pass; reference butteraugli_comparator.cc:63-75).
+
+    fused=True (static): the metric (everything after the decoded linear
+    RGB) runs as ONE Pallas program (metric/fused_pallas.py) instead of
+    ~85 XLA launches — only valid for bucketed small canvases, never
+    under sp-sharding."""
     from guetzli_tpu.image.output_image import (fancy_upsample_16,
                                                 fancy_upsample_16_dyn,
                                                 idct_pixels16,
@@ -158,13 +163,16 @@ def _diffmap_from_coeffs(coeffs, pi0, width, height, factors,
                                                 valid_hw[1], height,
                                                 width))
     lin = srgb8_to_linear(ycbcr_planes_to_srgb(*planes))
+    if fused and valid_hw is not None:
+        from guetzli_tpu.metric.fused_pallas import fused_diffmap
+        return fused_diffmap(lin, pi0, valid_hw[0], valid_hw[1])
     xyb1 = opsin_dynamics_image(lin, valid_hw)
     pi1 = separate_frequencies(xyb1, valid_hw)
     return diffmap_psycho_image(pi0, pi1, valid_hw)
 
 
 def _compare_coeffs_impl(coeffs, pi0, target_distance, width, height,
-                         factors, wfactor, valid_hw=None):
+                         factors, wfactor, valid_hw=None, fused=False):
     """One device call per optimizer iteration: host coefficient mirror ->
     pixel planes -> sRGB -> linear -> opsin -> diffmap -> distance, plus the
     block-error adjustment weight grids for both directions x rblock 1..4
@@ -181,7 +189,7 @@ def _compare_coeffs_impl(coeffs, pi0, target_distance, width, height,
     bucket; all border semantics then land at the true (h, w) edge and
     the returned distmap is zero outside the valid region."""
     dmap = _diffmap_from_coeffs(coeffs, pi0, width, height, factors,
-                                valid_hw)
+                                valid_hw, fused)
     dist = jnp.max(dmap)
     ws = _block_weights_all(dmap, target_distance, wfactor, width, height)
     packed = jnp.concatenate([dist[None].astype(jnp.float32),
@@ -190,14 +198,15 @@ def _compare_coeffs_impl(coeffs, pi0, target_distance, width, height,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "factors",
-                                             "wfactor"))
+                                             "wfactor", "fused"))
 def _compare_coeffs_fused_dyn(coeffs, pi0, target_distance, h, w,
-                              width, height, factors, wfactor):
+                              width, height, factors, wfactor,
+                              fused=False):
     """Bucketed fused compare: width/height static canvas dims, (h, w)
     traced true dims."""
     return _compare_coeffs_impl(coeffs, pi0, target_distance, width,
                                 height, factors, wfactor,
-                                valid_hw=(h, w))
+                                valid_hw=(h, w), fused=fused)
 
 
 def _block_weights_all(dmap, target_distance, wfactor, width, height):
@@ -259,7 +268,7 @@ def _compare_coeffs_fused(coeffs, pi0, target_distance, width, height,
 
 
 def _requant_compare_impl(base, q_batch, pi0, h, w, width, height,
-                          factors):
+                          factors, fused=False):
     def one(q):
         from guetzli_tpu.ops.quantize import quantize_nearest
         if isinstance(base, tuple):
@@ -268,15 +277,16 @@ def _requant_compare_impl(base, q_batch, pi0, h, w, width, height,
         else:
             coeffs = quantize_nearest(base, q[:, None, None, :])
         dmap = _diffmap_from_coeffs(coeffs, pi0, width, height, factors,
-                                    (h, w))
+                                    (h, w), fused)
         return jnp.max(dmap)
 
     return jax.lax.map(one, q_batch)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "factors"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "factors",
+                                             "fused"))
 def _requant_compare_batch_dyn(base, q_batch, pi0, h, w, width, height,
-                               factors):
+                               factors, fused=False):
     """Speculative quant-search evaluation: B candidate quant matrices
     against the device-resident dequantized base state, one device call.
 
@@ -291,12 +301,13 @@ def _requant_compare_batch_dyn(base, q_batch, pi0, h, w, width, height,
     candidates. Returns (B,) f32 distances (requantize -> decode ->
     butteraugli max; weights are not needed by the quant search)."""
     return _requant_compare_impl(base, q_batch, pi0, h, w, width, height,
-                                 factors)
+                                 factors, fused)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "factors"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "factors",
+                                             "fused"))
 def _requant_compare_images(bases, q_batches, pi0s, hs, ws, width, height,
-                            factors):
+                            factors, fused=False):
     """Cross-image batched twin: every arg gains a leading image axis
     (same canvas bucket). The candidate axis stays a lax.map scan, so
     each device step evaluates one candidate for ALL images — the
@@ -304,7 +315,7 @@ def _requant_compare_images(bases, q_batches, pi0s, hs, ws, width, height,
     it (same rationale as refine_chunk_batch)."""
     return jax.vmap(
         lambda b, q, p, h, w: _requant_compare_impl(
-            b, q, p, h, w, width, height, factors)
+            b, q, p, h, w, width, height, factors, fused)
     )(bases, q_batches, pi0s, hs, ws)
 
 
@@ -404,9 +415,14 @@ class ButteraugliComparatorTPU(Comparator):
         self.sp_mesh = runtime.current_sp_mesh()
         if self.sp_mesh is not None and len(self.sp_mesh.devices) == 1:
             self.sp_mesh = None
+        self.fused = False
         if _BUCKETS:
             self.hb = bucket_dim(self.height)
             self.wb = bucket_dim(self.width)
+            if self.sp_mesh is None:
+                from guetzli_tpu.metric.fused_pallas import (
+                    fused_metric_eligible)
+                self.fused = fused_metric_eligible(self.hb, self.wb)
             pad = np.zeros((self.hb, self.wb, 3), dtype=np.uint8)
             pad[:self.height, :self.width] = self.rgb_orig
             lin = jnp.asarray(pad.transpose(2, 0, 1))
@@ -488,7 +504,8 @@ class ButteraugliComparatorTPU(Comparator):
                 coeffs, self._pi0,
                 jnp.float32(self.target_distance * target_mul),
                 jnp.int32(self.height), jnp.int32(self.width),
-                self.wb, self.hb, tuple(factors), int(wfactor))
+                self.wb, self.hb, tuple(factors), int(wfactor),
+                fused=self.fused)
 
             def finalize():
                 self._distmap = dmap
@@ -541,11 +558,11 @@ class ButteraugliComparatorTPU(Comparator):
                 "pi0": self._pi0, "uid": self.uid,
                 "h": self.height, "w": self.width,
                 "wb": self.wb, "hb": self.hb,
-                "factors": self._qs_factors})
+                "factors": self._qs_factors, "fused": self.fused})
         dists = _requant_compare_batch_dyn(
             self._qs_base, jnp.asarray(q_batch, jnp.int32), self._pi0,
             jnp.int32(self.height), jnp.int32(self.width),
-            self.wb, self.hb, self._qs_factors)
+            self.wb, self.hb, self._qs_factors, fused=self.fused)
         return np.asarray(dists)
 
     def _compare_coeffs_sync(self, coeff_list, factors, wfactor: int,

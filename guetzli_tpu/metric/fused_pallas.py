@@ -1,0 +1,386 @@
+"""Single-Pallas-program butteraugli diffmap (the metric mega-kernel).
+
+The per-iteration fused compare is dispatch-overhead-bound on small
+canvases: the XLA pipeline for opsin -> frequency cascade -> Malta/L2 ->
+mask -> combine lowers to ~85 kernel launches, each a fixed ~0.1 ms on
+the axon v5e regardless of how little data it touches. This kernel runs
+the ENTIRE metric (everything between decoded linear RGB and the final
+diffmap — reference butteraugli.cc:324-366, :489-622, :624-908,
+:1638-1817) as ONE Pallas program.
+
+Design notes:
+- Blurs are the reference's truncated-Gaussian separable passes
+  (butteraugli.cc:145-233) evaluated as unrolled shifted-adds on the
+  VMEM-resident plane (W axis then H axis, matching ops/blur.py's
+  matmul operand order), with the per-position border renormalization
+  applied from precomputed (9, H)/(9, W) weight vectors — the same
+  `_weights_dyn` values the XLA path uses, computed once outside.
+- The Malta 16-direction stencils are static shifted-adds with
+  zero-padded borders (same scheme as metric/malta_pallas.py, whole
+  canvas per program).
+- All pointwise math is IMPORTED from the jnp modules (opsin,
+  frequencies, malta, mask) — the kernel body traces the same functions
+  the XLA path runs, so parity is by construction up to f32 summation
+  order inside the blurs. Zero-weighted channels of the reference's
+  wmul table (ac-mf, ac0-hf asym, dc1 — exact zeros in both paths) are
+  skipped.
+- VMEM is bounded by VALUE liveness, not input residency: the big
+  inputs (candidate linear RGB and the original's 10 PsychoImage
+  planes) stay in HBM (`pltpu.ANY`) and each plane is DMA'd into a
+  2-slot VMEM scratch at its use site, so peak usage is ~15 live planes
+  regardless of how many inputs exist. This is what lets the bees
+  bucket (480x304 = 146k px, 584 KB/plane) fit the 16 MB VMEM budget.
+- Grid = (batch,): one program instance per image. The batched refine /
+  batch-mode paths call it with B>1 so the whole group pays one launch.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from guetzli_tpu.metric import frequencies as fr
+from guetzli_tpu.metric import malta as malta_mod
+from guetzli_tpu.metric import mask as mask_mod
+from guetzli_tpu.metric import opsin as opsin_mod
+from guetzli_tpu.metric.frequencies import PsychoImage
+from guetzli_tpu.ops import blur as blur_mod
+
+# (sigma, border_ratio) of every blur in the metric, in pipeline order.
+SIGMAS = (
+    (1.2, 0.0),                                    # opsin dynamics
+    (fr.SIGMA_LF, fr.BORDER_LF),                   # lf
+    (fr.SIGMA_HF, fr.BORDER_MF),                   # mf
+    (fr.SIGMA_UHF, fr.BORDER_HF),                  # uhf
+    (10.6666499623, 0.0),                          # SameNoiseLevels
+    (mask_mod.MASK_R2, mask_mod.MASK_BORDER_RATIO),
+    (mask_mod.MASK_R0, mask_mod.MASK_BORDER_RATIO),
+    (mask_mod.MASK_R1, mask_mod.MASK_BORDER_RATIO),
+    (1.72547472444, 1.0),                          # CalculateDiffmap
+)
+
+# 480x304 (the bees bucket) fits with ~15 live planes; raise after
+# VMEM headroom is confirmed on hardware.
+_FUSED_MAX_PIXELS = int(os.environ.get("GUETZLI_TPU_FUSED_MAX_PIXELS",
+                                       147456))
+_ENV = os.environ.get("GUETZLI_TPU_FUSED_METRIC")
+
+
+def fused_metric_eligible(canvas_h: int, canvas_w: int) -> bool:
+    """Static (trace-time) gate: env override, else TPU + VMEM bound.
+    Callers must additionally pass fused=False when the image is
+    sp-sharded (a Pallas call cannot be GSPMD-partitioned)."""
+    if _ENV == "0":
+        return False
+    if canvas_h * canvas_w > _FUSED_MAX_PIXELS:
+        return False
+    if _ENV == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# In-kernel building blocks (operate on VMEM-resident (H, W) f32 values).
+# ---------------------------------------------------------------------------
+
+
+def _pad_lr(x, r):
+    if r == 0:
+        return x
+    z = jnp.zeros((x.shape[0], r), x.dtype)
+    return jnp.concatenate([z, x, z], axis=1)
+
+
+def _pad_tb(x, r):
+    if r == 0:
+        return x
+    z = jnp.zeros((r, x.shape[1]), x.dtype)
+    return jnp.concatenate([z, x, z], axis=0)
+
+
+def _shift_blur(x, taps, h, w):
+    """Separable zero-pad blur: W pass then H pass (the operand order of
+    ops/blur.py's matmul form), unrolled shifted-adds."""
+    r = len(taps) // 2
+    xp = _pad_lr(x, r)
+    acc = None
+    for j, t in enumerate(taps):
+        term = xp[:, j:j + w] * float(t)
+        acc = term if acc is None else acc + term
+    ap = _pad_tb(acc, r)
+    acc2 = None
+    for j, t in enumerate(taps):
+        term = ap[j:j + h, :] * float(t)
+        acc2 = term if acc2 is None else acc2 + term
+    return acc2
+
+
+def _malta_ssq(x, lf):
+    """Sum over the 16 Malta patterns of squared line sums, zero-padded
+    borders (metric/malta_pallas.py semantics, whole canvas)."""
+    h, w = x.shape
+    xp = _pad_tb(_pad_lr(x, 4), 4)
+    pats = malta_mod.MALTA_PATTERNS_LF if lf else malta_mod.MALTA_PATTERNS
+    acc = None
+    for offs in pats:
+        s = None
+        for dy, dx in offs:
+            sl = xp[4 + dy:4 + dy + h, 4 + dx:4 + dx + w]
+            s = sl if s is None else s + sl
+        acc = s * s if acc is None else acc + s * s
+    return acc
+
+
+def _diff_precompute(p0, p1, vh, vw, row, col):
+    """mask.diff_precompute's dynamic-valid branch on kernel values."""
+    def grad(p):
+        fwd = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+        bwd = jnp.concatenate([p[:, :1], p[:, :-1]], axis=1)
+        right = jnp.where(col == vw - 1, bwd, fwd)
+        fwd = jnp.concatenate([p[1:, :], p[-1:, :]], axis=0)
+        bwd = jnp.concatenate([p[:1, :], p[:-1, :]], axis=0)
+        down = jnp.where(row == vh - 1, bwd, fwd)
+        return jnp.abs(p - right) + jnp.abs(p - down)
+
+    mul0 = 0.918416534734
+    cutoff = 55.0184555849
+    return jnp.minimum(mul0 * jnp.minimum(grad(p0), grad(p1)), cutoff)
+
+
+def _kernel(hw_ref, lin_hbm, pi0_hbm, invh_ref, invw_ref, out_ref,
+            scratch, sems):
+    H, W = out_ref.shape[-2:]
+    b = pl.program_id(0)
+    vh = hw_ref[0, 0]
+    vw = hw_ref[0, 1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    vmask = ((row < vh) & (col < vw)).astype(jnp.float32)
+
+    # HBM plane loads: 2-slot rotation; the returned SSA value's VMEM
+    # lifetime ends at its last use, which is what bounds peak memory.
+    slot = [0]
+
+    def load(plane_ref):
+        s = slot[0]
+        slot[0] = 1 - s
+        dma = pltpu.make_async_copy(plane_ref, scratch.at[s], sems.at[s])
+        dma.start()
+        dma.wait()
+        return scratch[s]
+
+    def blur_p(x, si):
+        taps = blur_mod._kernel_np(SIGMAS[si][0])
+        out = _shift_blur(x * vmask, taps, H, W)
+        return out * invh_ref[0, si] * invw_ref[0, si]
+
+    def masked(x):
+        return x * vmask
+
+    # --- opsin dynamics (butteraugli.cc:324-366) ---
+    lin = [load(lin_hbm.at[b, c]) for c in range(3)]
+    blurred = [blur_p(lin[c], 0) for c in range(3)]
+    m = opsin_mod.OPSIN_MIX
+
+    def absorb(rgb):
+        return [float(m[c, 0]) * rgb[0] + float(m[c, 1]) * rgb[1]
+                + float(m[c, 2]) * rgb[2] + float(m[c, 3])
+                for c in range(3)]
+
+    pre = absorb(blurred)
+    sens = [opsin_mod.gamma_fast(pre[c]) / pre[c] for c in range(3)]
+    cur = [a * s for a, s in zip(absorb(lin), sens)]
+    xyb = [cur[0] - cur[1], cur[0] + cur[1], cur[2]]
+
+    # --- SeparateFrequencies (butteraugli.cc:489-622) ---
+    lf = [blur_p(xyb[c], 1) for c in range(3)]
+    res = [xyb[c] - lf[c] for c in range(3)]
+    mf_blur = [blur_p(res[c], 2) for c in range(3)]
+    hf_x = res[0] - mf_blur[0]
+    hf_y = res[1] - mf_blur[1]
+    mf_x = fr.remove_range_around_zero(0.120079806822, mf_blur[0])
+    mf_y = fr.amplify_range_around_zero(0.03430529365, mf_blur[1])
+    hf_x = fr.suppress_x_by_y(hf_x, hf_y, 2.96534974403)
+
+    hfb_x = blur_p(hf_x, 3)
+    hfb_y = blur_p(hf_y, 3)
+    uhf_x = hf_x - hfb_x
+    hf_x = fr.remove_range_around_zero(0.0287615200377, hfb_x)
+    uhf_y = hf_y - hfb_y
+    hf_y2 = fr.maximum_clamp(hfb_y, 78.8223237675)
+    uhf_y = fr.maximum_clamp(uhf_y, 5.8907152736)
+    uhf_y = fr._suppress_in_bright(uhf_y, lf[1], 1.76905001176,
+                                   2000 * 0.310148420674)
+    hf_y2 = fr._suppress_in_bright(hf_y2, lf[1], 1.10684769012,
+                                   2000 * 0.478741530298)
+    vx, vy, vb = fr.xyb_lowfreq_to_vals(lf[0], lf[1], lf[2])
+    pi1 = PsychoImage(lf=(vx, vy, vb), mf=(mf_x, mf_y, mf_blur[2]),
+                      hf=(hf_x, hf_y2), uhf=(uhf_x, uhf_y))
+    # pi0 plane indices in the HBM stack: lf 0-2, mf 3-5, hf 6-7, uhf 8-9
+
+    # --- DiffmapPsychoImage (butteraugli.cc:624-908) ---
+    from guetzli_tpu.metric.diffmap import (HF_ASYMMETRY,
+                                            l2_diff_asymmetric)
+    ha = HF_ASYMMETRY
+    sqrt_ha = float(ha) ** 0.5
+    MULLI = 0.354191303559
+    MULLI_LF = 0.405371989604
+
+    def msd(a, b_, w0, w1, norm, mulli):
+        return masked(malta_mod.malta_scaled_diffs(a, b_, w0, w1, norm,
+                                                   mulli=mulli))
+
+    def p0(k):
+        return load(pi0_hbm.at[b, k])
+
+    # Malta terms one at a time (pi0 plane liveness = one term).
+    ac1 = _malta_ssq(msd(p0(9), pi1.uhf[1], 5.1409625726 * ha,
+                         5.1409625726 / ha, 58.5001247061, MULLI),
+                     lf=False)
+    ac0 = _malta_ssq(msd(p0(8), pi1.uhf[0], 4.91743441556 * ha,
+                         4.91743441556 / ha, 687196.39002, MULLI),
+                     lf=False)
+    p0hf1 = p0(7)    # reused: malta, SameNoise, L2-asym, activity
+    ac1 = ac1 + _malta_ssq(
+        msd(p0hf1, pi1.hf[1], 153.671655716 * sqrt_ha,
+            153.671655716 / sqrt_ha, 83150785.9592, MULLI_LF), lf=True)
+    p0hf0 = p0(6)    # reused: malta, activity
+    ac0 = ac0 + _malta_ssq(
+        msd(p0hf0, pi1.hf[0], 668.358918152 * sqrt_ha,
+            668.358918152 / sqrt_ha, 0.882954368025, MULLI_LF), lf=True)
+    ac1 = ac1 + _malta_ssq(
+        msd(p0(4), pi1.mf[1], 6841.81248144, 6841.81248144,
+            0.0135134962487, MULLI_LF), lf=True)
+    ac0 = ac0 + _malta_ssq(
+        msd(p0(3), pi1.mf[0], 813.901703816, 813.901703816,
+            16792.9322251, MULLI_LF), lf=True)
+
+    # SameNoiseLevels (butteraugli.cc:624-652,888)
+    snl_w, snl_maxclamp = 884.809801415, 85.7047444518
+    v0 = jnp.minimum(jnp.abs(p0hf1), snl_maxclamp)
+    v1 = jnp.minimum(jnp.abs(pi1.hf[1]), snl_maxclamp)
+    snl_diff = blur_p(v0 - v1, 4)
+    ac1 = ac1 + snl_w * snl_diff * snl_diff
+
+    # L2 terms (zero-weighted wmul channels skipped; exact zeros).
+    wmul1, wmul6, wmul8 = 32.4449876135, 1.01370836411, 1.74566011615
+    ac1 = ac1 + l2_diff_asymmetric(p0hf1, pi1.hf[1], wmul1 * ha,
+                                   wmul1 / ha)
+
+    # Mask (butteraugli.cc:753-782, 1638-1817)
+    muls = (0.0, 1.64178305129, 0.831081703362, 3.23680933546)
+    act0_x = muls[1] * p0hf0                      # muls[0] * uhf0 == 0
+    act0_y = muls[2] * p0(9) + muls[3] * p0hf1
+    act1_x = muls[1] * pi1.hf[0]
+    act1_y = muls[2] * pi1.uhf[1] + muls[3] * pi1.hf[1]
+    diff_x = _diff_precompute(act0_x, act1_x, vh, vw, row, col)
+    diff_y = _diff_precompute(act0_y, act1_y, vh, vw, row, col)
+    b_r2 = blur_p(diff_x, 5)
+    b_r0 = blur_p(diff_y, 6)
+    b_r1 = blur_p(diff_y, 7)
+
+    muls0 = 0.207017089891
+    muls1 = 0.267138152891
+    s1 = (muls0 * b_r0 + muls1 * b_r1) / (muls0 + muls1)
+    mul0 = 16.6963293877
+    mul1 = 2.1364621982
+    w00 = 36.4671237619
+    w11 = 2.1887170895
+    w_ytob_lf = 21.6804277046
+    p1m = mul1 * w11 * s1
+    p0m = mul0 * w00 * b_r2 + 0.0513061271723 * p1m
+    m_x = mask_mod.mask_x(p0m)
+    m_y = mask_mod.mask_y(p1m)
+    md_x = mask_mod.mask_dc_x(p0m)
+    md_y = mask_mod.mask_dc_y(p1m)
+
+    # DC L2 terms at their use sites (lf planes live one term each).
+    dlf = p0(0) - pi1.lf[0]
+    combined = md_x * (wmul6 * dlf * dlf)
+    dlf = p0(2) - pi1.lf[2]
+    combined = combined + w_ytob_lf * md_y * (wmul8 * dlf * dlf)
+    combined = combined + m_x * ac0 + m_y * ac1
+    combined = masked(combined)
+
+    # CalculateDiffmap (butteraugli.cc:718-751)
+    k_initial_slope = 100.0
+    d = jnp.where(combined < 1.0 / (k_initial_slope * k_initial_slope),
+                  k_initial_slope * combined,
+                  jnp.sqrt(jnp.maximum(combined, 0.0)))
+    cmul1 = 0.458794906198
+    scale = 1.0 / (1.0 + cmul1)
+    out = (d + cmul1 * blur_p(d, 8)) * scale
+    out_ref[0] = masked(out)
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrappers.
+# ---------------------------------------------------------------------------
+
+
+def _inv_weights(h, w, H: int, W: int):
+    """(9, H, 1) and (9, 1, W) border-renormalization vectors for the
+    true dims (h, w) inside the (H, W) canvas (same `_weights_dyn` values
+    the XLA blur path applies)."""
+    invh = jnp.stack([blur_mod._weights_dyn(s, H, br, h)
+                      for s, br in SIGMAS])
+    invw = jnp.stack([blur_mod._weights_dyn(s, W, br, w)
+                      for s, br in SIGMAS])
+    return invh[:, :, None], invw[:, None, :]
+
+
+def stack_pi0(pi0: PsychoImage) -> jax.Array:
+    """PsychoImage -> (10, H, W): lf, mf, hf, uhf in kernel order."""
+    return jnp.concatenate([jnp.asarray(pi0.lf), jnp.asarray(pi0.mf),
+                            jnp.asarray(pi0.hf), jnp.asarray(pi0.uhf)])
+
+
+def fused_diffmap_batch(lin: jax.Array, pi0_stack: jax.Array,
+                        h: jax.Array, w: jax.Array,
+                        interpret: bool = False) -> jax.Array:
+    """(B, 3, H, W) linear RGB + (B, 10, H, W) original PsychoImage ->
+    (B, H, W) diffmaps; (h, w) are (B,) true dims."""
+    B, _, H, W = lin.shape
+    # Non-TPU backends (CPU tests with GUETZLI_TPU_FUSED_METRIC=1) run
+    # the kernel through the Pallas interpreter.
+    interpret = interpret or jax.default_backend() != "tpu"
+    invh, invw = jax.vmap(lambda hh, ww: _inv_weights(hh, ww, H, W))(h, w)
+    hw = jnp.stack([h, w], axis=1).astype(jnp.int32)
+    return pl.pallas_call(
+        _kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),        # lin (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),        # pi0 (HBM)
+            pl.BlockSpec((1, 9, H, 1), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, 1, W), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, H, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(hw, lin, pi0_stack, invh, invw)
+
+
+def fused_diffmap(lin: jax.Array, pi0: PsychoImage, h, w,
+                  interpret: bool = False) -> jax.Array:
+    """(3, H, W) candidate linear RGB -> (H, W) diffmap vs pi0."""
+    dm = fused_diffmap_batch(lin[None], stack_pi0(pi0)[None],
+                             jnp.asarray(h, jnp.int32)[None],
+                             jnp.asarray(w, jnp.int32)[None],
+                             interpret=interpret)
+    return dm[0]

@@ -295,7 +295,7 @@ def _requant_handler(payloads: List[dict], cache: dict) -> List[np.ndarray]:
                 results[i] = np.asarray(_requant_compare_batch_dyn(
                     p["base"], jnp.asarray(p["q"]), p["pi0"],
                     jnp.int32(p["h"]), jnp.int32(p["w"]), wb, hb,
-                    factors))
+                    factors, fused=p.get("fused", False)))
             continue
         for start in range(0, len(idxs), lanes):
             sub = idxs[start:start + lanes]
@@ -315,7 +315,8 @@ def _requant_handler(payloads: List[dict], cache: dict) -> List[np.ndarray]:
             hs = jnp.asarray([p["h"] for p in ps_p], jnp.int32)
             ws = jnp.asarray([p["w"] for p in ps_p], jnp.int32)
             dists = np.asarray(_requant_compare_images(
-                bases, qs, pi0s, hs, ws, wb, hb, factors))
+                bases, qs, pi0s, hs, ws, wb, hb, factors,
+                fused=ps[0].get("fused", False)))
             for j, i in enumerate(sub):
                 results[i] = dists[j]
     return results

@@ -720,9 +720,16 @@ class Processor:
             row_valid = np.ones(num_blocks, dtype=bool)
             canvas_w, canvas_h = img.width, img.height
 
+        fused = getattr(cmp_, "fused", False)
+        # Grouped bisection probes win where the stopping rule is
+        # launch-overhead-bound (small canvases); at megapixel scale the
+        # batched probes' extra bandwidth outweighs the saved launches.
+        blevels = int(_os.environ.get("GUETZLI_TPU_BISECT_LEVELS",
+                                      3 if fused else 1))
         cfg = rd.RefineCfg(nb_eff, steps, canvas_w, canvas_h,
                            factors, int(factor), int(comp_mask),
-                           bucketed=bucketed)
+                           bucketed=bucketed, fused=fused,
+                           bisect_group=blevels)
         zero_order, cand_zpos, zero_order_nat = rd.zeroing_order_tables(
             cand_idx, cand_count, prec)
         init_at_cand = init192[np.arange(nb_eff)[:, None], cand_idx]

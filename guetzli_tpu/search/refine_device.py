@@ -79,6 +79,14 @@ class RefineCfg(NamedTuple):
     comp_mask: int             # 7 (444), 1 (420 luma), 6 (420 chroma)
     k_iters: int = REFINE_K
     bucketed: bool = False
+    fused: bool = False        # Pallas metric mega-kernel (small buckets)
+    bisect_group: int = 1      # sequential probes per bisection launch
+    #                            group (1 = plain binary; 3 = oct-ary:
+    #                            7 probes evaluated batched, exact same
+    #                            results, ~3x fewer sequential rounds —
+    #                            wins where launch overhead dominates
+    #                            the probe's bandwidth, i.e. small
+    #                            canvases)
 
 
 class RefineConsts(NamedTuple):
@@ -327,10 +335,10 @@ def _enc_f32(vals: jax.Array, valid: jax.Array) -> jax.Array:
 
 
 def _est_size(bits3: jax.Array, consts: RefineConsts) -> jax.Array:
-    """(3,) i32 per-comp raw bits -> total estimated bytes (reference
+    """(..., 3) i32 per-comp raw bits -> (...) estimated bytes (reference
     _entropy_size semantics: per-component escape fudge, shared ceil)."""
     fudged = bits3 + ((bits3 * 3 + 512) >> 10)
-    total = jnp.sum(fudged) + consts.frozen_fudged
+    total = jnp.sum(fudged, axis=-1) + consts.frozen_fudged
     return consts.header_dc + ((total + 7) // 8)
 
 
@@ -382,7 +390,7 @@ def _compare_state(state192, consts: RefineConsts, cfg: RefineCfg):
                 else None)
     _, packed = _compare_coeffs_impl(
         coeffs, consts.pi0, consts.wtarget, w, h, cfg.factors, f,
-        valid_hw=valid_hw)
+        valid_hw=valid_hw, fused=cfg.fused and cfg.bucketed)
     dist = packed[0]
     wg = packed[1:].reshape(8, cfg.n_blocks)
     return dist, wg
@@ -484,17 +492,71 @@ def _iteration(carry: RefineCarry, consts: RefineConsts, cfg: RefineCfg,
 
         j_total = jnp.sum(valid, axis=1, dtype=jnp.int32)
 
-        def with_bisect(_):
-            def body_a(lh):
-                lo, hi = lh
-                mid = lo + (hi - lo) // jnp.uint32(2)
-                jm = jnp.sum(enc <= mid, axis=1, dtype=jnp.int32)
-                c = cond_j(jnp.sum(jm), jm)
-                return (jnp.where(c, lo, mid), jnp.where(c, mid, hi))
+        def cond_j_batch(m_, j):
+            """(G,) candidate counts + (G, N) per-block windows -> (G,)
+            bool conds — G probes evaluated in one batched pass."""
+            jc = j[:, :, None]
+            win = jnp.where(up,
+                            valid[None] & (t[None] < n_col_[None] + jc),
+                            valid[None] & (t[None] >= n_col_[None] - jc))
+            d = jnp.sum(jnp.where(win[:, :, :, None], db3[None], 0),
+                        axis=(1, 2))
+            est = _est_size(prev_bits3[None] + jnp.where(up, d, -d),
+                            consts)
+            return ((m_ > min_coeffs)
+                    & (jnp.abs(est - prev_size).astype(jnp.float32)
+                       > min_size_delta))
 
-            _, estar = jax.lax.while_loop(
-                lambda lh: lh[1] - lh[0] > jnp.uint32(1), body_a,
-                (jnp.uint32(0), jnp.uint32(2 ** 32 - 1)))
+        # Bisection with `levels` exact sequential steps per round: the
+        # 2^levels - 1 probe points of every possible decision path are
+        # the nested midpoints, precomputable from the round-start
+        # interval, so one batched cond evaluation serves all levels and
+        # the scalar decision tree walks it. Bit-identical to the plain
+        # one-probe-per-round loop (each level's update is gated on the
+        # interval still being open, exactly like the sequential while
+        # condition).
+        levels = max(1, int(cfg.bisect_group))
+        n_probes = (1 << levels) - 1
+
+        def _mid_list(a, b, d, two):
+            mid = a + (b - a) // two
+            if d == 1:
+                return [mid]
+            return (_mid_list(a, mid, d - 1, two) + [mid]
+                    + _mid_list(mid, b, d - 1, two))
+
+        def _grouped_bisect(lo0, hi0, eval_cond):
+            one = jnp.asarray(1, lo0.dtype)
+            two = jnp.asarray(2, lo0.dtype)
+
+            def round_(lh):
+                lo, hi = lh
+                mids = jnp.stack(_mid_list(lo, hi, levels, two))
+                c = eval_cond(mids)
+                sel = jnp.int32((1 << (levels - 1)) - 1)
+                step = 1 << max(levels - 2, 0)
+                for lvl in range(levels):
+                    upd = (hi - lo) > one
+                    mid = mids[sel]
+                    ck = c[sel]
+                    lo = jnp.where(upd & ~ck, mid, lo)
+                    hi = jnp.where(upd & ck, mid, hi)
+                    if lvl < levels - 1:
+                        sel = jnp.where(ck, sel - step, sel + step)
+                        step = max(step // 2, 1)
+                return lo, hi
+
+            return jax.lax.while_loop(
+                lambda lh: lh[1] - lh[0] > one, round_, (lo0, hi0))
+
+        def with_bisect(_):
+            def eval_a(mids):
+                jm = jnp.sum(enc[None] <= mids[:, None, None], axis=2,
+                             dtype=jnp.int32)
+                return cond_j_batch(jnp.sum(jm, axis=1), jm)
+
+            _, estar = _grouped_bisect(jnp.uint32(0),
+                                       jnp.uint32(2 ** 32 - 1), eval_a)
             lt_b = jnp.sum(enc < estar, axis=1, dtype=jnp.int32)
             eq = enc == estar
             eq_b = jnp.sum(eq, axis=1, dtype=jnp.int32)
@@ -506,14 +568,13 @@ def _iteration(carry: RefineCarry, consts: RefineConsts, cfg: RefineCfg,
                 extra = jnp.clip(m_ - m_lo - cum_eq, 0, eq_b)
                 return lt_b + extra.astype(jnp.int32)
 
-            def body_b(lh):
-                lo, hi = lh
-                mid = (lo + hi) // 2
-                c = cond_j(mid, j_at_m(mid))
-                return (jnp.where(c, lo, mid), jnp.where(c, mid, hi))
+            def eval_b(mids):
+                extra = jnp.clip(mids[:, None] - m_lo - cum_eq[None],
+                                 0, eq_b[None])
+                return cond_j_batch(mids, lt_b[None]
+                                    + extra.astype(jnp.int32))
 
-            _, m_ = jax.lax.while_loop(
-                lambda lh: lh[1] - lh[0] > 1, body_b, (m_lo, m_hi))
+            _, m_ = _grouped_bisect(m_lo, m_hi, eval_b)
             vstar = jnp.min(jnp.where(eq, vals, jnp.inf))
             return m_, j_at_m(m_), vstar
 

@@ -1,0 +1,100 @@
+"""Parity of the Pallas metric mega-kernel (metric/fused_pallas.py)
+against the jnp pipeline it replaces (opsin -> separate_frequencies ->
+diffmap_psycho_image), run through the Pallas interpreter on CPU."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from guetzli_tpu.metric.opsin import opsin_dynamics_image
+from guetzli_tpu.metric.frequencies import separate_frequencies
+from guetzli_tpu.metric.diffmap import diffmap_psycho_image
+from guetzli_tpu.metric import fused_pallas as fp
+
+
+def _smooth(rng, shape, sigma=3.0):
+    x = rng.normal(size=shape)
+    k = np.exp(-np.arange(-8, 9) ** 2 / (2 * sigma ** 2))
+    k /= k.sum()
+    for ax in range(2):
+        x = np.apply_along_axis(
+            lambda v: np.convolve(v, k, mode="same"), ax, x)
+    x = (x - x.min()) / (x.max() - x.min() + 1e-9)
+    return (x * 200 + 20).astype(np.float32)
+
+
+def _pair(rng, H, W, h, w, noise=2.0):
+    lin0 = np.stack([_smooth(rng, (H, W)) for _ in range(3)])
+    lin1 = (lin0 + rng.normal(scale=noise, size=lin0.shape)
+            ).astype(np.float32)
+    lin0[:, h:, :] = 0
+    lin0[:, :, w:] = 0
+    return lin0, lin1
+
+
+@pytest.mark.parametrize("H,W,h,w", [(64, 128, 57, 97), (64, 128, 64, 128),
+                                     (48, 112, 41, 103)])
+def test_fused_diffmap_matches_jnp(H, W, h, w):
+    rng = np.random.default_rng(42)
+    lin0, lin1 = _pair(rng, H, W, h, w)
+    xyb0 = opsin_dynamics_image(jnp.asarray(lin0), (h, w))
+    pi0 = separate_frequencies(xyb0, (h, w))
+    pi1 = separate_frequencies(
+        opsin_dynamics_image(jnp.asarray(lin1), (h, w)), (h, w))
+    ref = np.asarray(diffmap_psycho_image(pi0, pi1, (h, w)))
+    got = np.asarray(fp.fused_diffmap(jnp.asarray(lin1), pi0, h, w,
+                                      interpret=True))
+    scale = max(float(ref.max()), 1e-9)
+    # Only f32 summation order inside the blurs differs.
+    assert np.abs(ref - got).max() / scale < 1e-3
+    assert abs(float(ref.max()) - float(got.max())) / scale < 2e-4
+    # the pad region must be exactly zero (the packed weight grids and
+    # the distance max read the whole canvas)
+    assert not got[h:].any() and not got[:, w:].any()
+
+
+def test_fused_diffmap_vmap_batch():
+    """The batched-refine path vmaps the kernel; lanes must be isolated
+    and identical to single calls."""
+    rng = np.random.default_rng(7)
+    H, W, h, w = 64, 128, 57, 97
+    lin0, lin1 = _pair(rng, H, W, h, w)
+    _, lin2 = _pair(rng, H, W, h, w, noise=4.0)
+    pi0 = separate_frequencies(
+        opsin_dynamics_image(jnp.asarray(lin0), (h, w)), (h, w))
+    singles = [np.asarray(fp.fused_diffmap(jnp.asarray(l), pi0, h, w,
+                                           interpret=True))
+               for l in (lin1, lin2)]
+    batched = np.asarray(jax.vmap(
+        lambda l: fp.fused_diffmap(l, pi0, h, w, interpret=True))(
+            jnp.stack([jnp.asarray(lin1), jnp.asarray(lin2)])))
+    np.testing.assert_array_equal(batched[0], singles[0])
+    np.testing.assert_array_equal(batched[1], singles[1])
+
+
+def test_fused_compare_impl_end_to_end():
+    """_compare_coeffs_impl with fused=True must agree with fused=False
+    through the full decode -> metric -> packed-weights path."""
+    from guetzli_tpu.metric.comparator import _compare_coeffs_impl
+
+    rng = np.random.default_rng(3)
+    H, W = 64, 128
+    h, w = 57, 97
+    lin0, _ = _pair(rng, H, W, h, w)
+    pi0 = separate_frequencies(
+        opsin_dynamics_image(jnp.asarray(lin0), (h, w)), (h, w))
+    coeffs = jnp.asarray(
+        rng.integers(-64, 65, size=(3, H // 8, W // 8, 64))
+        .astype(np.int32) * 8)
+    args = (coeffs, pi0, jnp.float32(1.0), W, H, (1, 1, 1), 1)
+    dmap_a, packed_a = _compare_coeffs_impl(*args, valid_hw=(h, w),
+                                            fused=False)
+    dmap_b, packed_b = _compare_coeffs_impl(*args, valid_hw=(h, w),
+                                            fused=True)
+    pa, pb = np.asarray(packed_a), np.asarray(packed_b)
+    scale = max(abs(pa[0]), 1e-9)
+    assert abs(pa[0] - pb[0]) / scale < 2e-4          # distance
+    # weight grids are thresholded; the threshold inputs differ by ~1e-6
+    # relative, so grids must agree except at razor-edge ties
+    assert (pa[1:] != pb[1:]).mean() < 0.01

@@ -202,13 +202,16 @@ def _legacy_select_np(vals, valid, n, cumdb3, bits0, up, min_coeffs,
     return m, j, n_new, est, sorted_vals[m - 1]
 
 
+@pytest.mark.parametrize("levels", [1, 3])
 @pytest.mark.parametrize("direction,seed", [(1, 0), (1, 1), (-1, 2),
                                             (-1, 3), (1, 4), (-1, 5)])
-def test_selection_matches_sort_model(rng, direction, seed):
+def test_selection_matches_sort_model(rng, direction, seed, levels):
     """One _iteration step (compare stubbed) must pick the same m, the
     same per-block applied counts, the same size estimate and the same
     value threshold as the sort-based reference — including engineered
-    value ties across blocks."""
+    value ties across blocks. levels=3 exercises the grouped (oct-ary)
+    bisection, which must be decision-for-decision identical to the
+    plain binary one."""
     r = np.random.default_rng(seed)
     quant, state, cand_idx, cand_count, prec = _make_problem(r)
     nb, steps = cand_idx.shape
@@ -220,7 +223,7 @@ def test_selection_matches_sort_model(rng, direction, seed):
     consts = _consts(quant, state, cand_idx, cand_count, prec, depths)
     consts = consts._replace(cand_err=jnp.asarray(cand_err),
                              base_size=jnp.float32(500.0))
-    cfg = _cfg(nb, steps)
+    cfg = _cfg(nb, steps)._replace(bisect_group=levels)
 
     n0 = (r.integers(0, 1000, nb) % (cand_count + 1)).astype(np.int32)
     if direction > 0:
