@@ -136,16 +136,9 @@ def _mask_self_dyn(xyb0, h, w):
     return mask_fn(xyb0, xyb0, (h, w))
 
 
-def _diffmap_from_coeffs(coeffs, pi0, width, height, factors,
-                         valid_hw=None, fused=False):
-    """Coefficient state -> diffmap: pixel planes -> sRGB -> linear ->
-    opsin -> frequency cascade -> psycho diffmap (the metric's forward
-    pass; reference butteraugli_comparator.cc:63-75).
-
-    fused=True (static): the metric (everything after the decoded linear
-    RGB) runs as ONE Pallas program (metric/fused_pallas.py) instead of
-    ~85 XLA launches — only valid for bucketed small canvases, never
-    under sp-sharding."""
+def _decode_linear(coeffs, width, height, factors, valid_hw=None):
+    """Coefficient state -> (3, H, W) decoded linear RGB (pixel planes
+    -> sRGB -> linear; reference output_image.cc ToSRGB semantics)."""
     from guetzli_tpu.image.output_image import (fancy_upsample_16,
                                                 fancy_upsample_16_dyn,
                                                 idct_pixels16,
@@ -162,7 +155,20 @@ def _diffmap_from_coeffs(coeffs, pi0, width, height, factors,
             planes.append(fancy_upsample_16_dyn(sub, valid_hw[0],
                                                 valid_hw[1], height,
                                                 width))
-    lin = srgb8_to_linear(ycbcr_planes_to_srgb(*planes))
+    return srgb8_to_linear(ycbcr_planes_to_srgb(*planes))
+
+
+def _diffmap_from_coeffs(coeffs, pi0, width, height, factors,
+                         valid_hw=None, fused=False):
+    """Coefficient state -> diffmap: decoded linear RGB -> opsin ->
+    frequency cascade -> psycho diffmap (the metric's forward pass;
+    reference butteraugli_comparator.cc:63-75).
+
+    fused=True (static): the metric (everything after the decoded linear
+    RGB) runs as ONE Pallas program (metric/fused_pallas.py) instead of
+    ~85 XLA launches — only valid for bucketed small canvases, never
+    under sp-sharding."""
+    lin = _decode_linear(coeffs, width, height, factors, valid_hw)
     if fused and valid_hw is not None:
         from guetzli_tpu.metric.fused_pallas import fused_diffmap
         return fused_diffmap(lin, pi0, valid_hw[0], valid_hw[1])
@@ -269,15 +275,34 @@ def _compare_coeffs_fused(coeffs, pi0, target_distance, width, height,
 
 def _requant_compare_impl(base, q_batch, pi0, h, w, width, height,
                           factors, fused=False):
-    def one(q):
-        from guetzli_tpu.ops.quantize import quantize_nearest
+    from guetzli_tpu.ops.quantize import quantize_nearest
+
+    def requant(q):
         if isinstance(base, tuple):
-            coeffs = tuple(quantize_nearest(base[c], q[c])
-                           for c in range(3))
-        else:
-            coeffs = quantize_nearest(base, q[:, None, None, :])
-        dmap = _diffmap_from_coeffs(coeffs, pi0, width, height, factors,
-                                    (h, w), fused)
+            return tuple(quantize_nearest(base[c], q[c])
+                         for c in range(3))
+        return quantize_nearest(base, q[:, None, None, :])
+
+    if fused:
+        # All B candidates in ONE Pallas launch: vmapped requant+decode
+        # -> (B, 3, H, W) linear RGB -> grid=(B,) metric kernel. The
+        # fused gate implies a small canvas bucket, so the B-plane
+        # stack is a few MB of HBM.
+        from guetzli_tpu.metric.fused_pallas import (fused_diffmap_batch,
+                                                     stack_pi0)
+        lins = jax.vmap(lambda q: _decode_linear(
+            requant(q), width, height, factors, (h, w)))(q_batch)
+        nb = lins.shape[0]
+        pi0b = jnp.broadcast_to(stack_pi0(pi0)[None],
+                                (nb, 10, height, width))
+        hs = jnp.broadcast_to(jnp.asarray(h, jnp.int32), (nb,))
+        ws = jnp.broadcast_to(jnp.asarray(w, jnp.int32), (nb,))
+        dms = fused_diffmap_batch(lins, pi0b, hs, ws)
+        return jnp.max(dms, axis=(1, 2))
+
+    def one(q):
+        dmap = _diffmap_from_coeffs(requant(q), pi0, width, height,
+                                    factors, (h, w))
         return jnp.max(dmap)
 
     return jax.lax.map(one, q_batch)

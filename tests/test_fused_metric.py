@@ -73,6 +73,34 @@ def test_fused_diffmap_vmap_batch():
     np.testing.assert_array_equal(batched[1], singles[1])
 
 
+def test_fused_requant_batch_matches_map():
+    """_requant_compare_impl's fused branch (all candidates through one
+    grid=(B,) Pallas launch) must match the per-candidate lax.map path
+    to metric tolerance, and must match a loop of single fused calls
+    exactly (same kernel, one instance per candidate)."""
+    from guetzli_tpu.metric.comparator import _requant_compare_impl
+
+    rng = np.random.default_rng(11)
+    H, W = 64, 128
+    h, w = 57, 97
+    lin0, _ = _pair(rng, H, W, h, w)
+    pi0 = separate_frequencies(
+        opsin_dynamics_image(jnp.asarray(lin0), (h, w)), (h, w))
+    base = jnp.asarray(
+        rng.integers(-512, 513, size=(3, H // 8, W // 8, 64))
+        .astype(np.int32))
+    q = jnp.asarray(rng.integers(8, 64, size=(4, 3, 64)).astype(np.int32))
+    args = (base, q, pi0, jnp.int32(h), jnp.int32(w), W, H, (1, 1, 1))
+    d_map = np.asarray(_requant_compare_impl(*args, fused=False))
+    d_fused = np.asarray(_requant_compare_impl(*args, fused=True))
+    np.testing.assert_allclose(d_fused, d_map, rtol=2e-4)
+    singles = np.asarray([
+        _requant_compare_impl(base, q[i:i + 1], pi0, jnp.int32(h),
+                              jnp.int32(w), W, H, (1, 1, 1), fused=True)[0]
+        for i in range(q.shape[0])])
+    np.testing.assert_array_equal(d_fused, singles)
+
+
 def test_fused_compare_impl_end_to_end():
     """_compare_coeffs_impl with fused=True must agree with fused=False
     through the full decode -> metric -> packed-weights path."""
