@@ -32,7 +32,29 @@ HEALTHY_SINGLE_S = 8.0        # engine-era healthy warm single encode
 MEASURE_BUDGET_S = 900.0      # wall budget for the measurement loop
 
 
+DEVICE_ACQUIRE_TIMEOUT_S = 900.0  # tunnel hard-down -> report, don't hang
+
+
 def main():
+    import threading
+
+    # The axon tunnel can be hard-down for hours (observed: jax device
+    # init hangs indefinitely). Emit an explicit unavailability record
+    # instead of hanging the driver; covers ONLY device acquisition —
+    # compiles/warm-up afterwards may legitimately take longer.
+    def _unavailable():
+        print(json.dumps({
+            "metric": "encode_throughput_q95", "value": 0.0,
+            "unit": "MPix/s", "vs_baseline": 0.0,
+            "detail": {"error": "tpu_device_acquisition_timeout",
+                       "timeout_s": DEVICE_ACQUIRE_TIMEOUT_S}}),
+            flush=True)
+        os._exit(7)
+
+    watchdog = threading.Timer(DEVICE_ACQUIRE_TIMEOUT_S, _unavailable)
+    watchdog.daemon = True
+    watchdog.start()
+
     import jax
     cache = REPO / ".jax_cache"
     cache.mkdir(exist_ok=True)
@@ -48,6 +70,7 @@ def main():
     # --- link-latency probe (device health context) ---
     x = jnp.ones(16)
     float(jnp.sum(x))                       # session warm-up (can be slow)
+    watchdog.cancel()
     t0 = time.time()
     float(jnp.sum(x))
     latency_ms = (time.time() - t0) * 1000

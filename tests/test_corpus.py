@@ -123,6 +123,27 @@ def test_corpus_contract(oracle, bees_rgb, tmp_path):
     assert not failures, "\n".join(failures)
 
 
+def test_distance_margin_strict(oracle, bees_rgb, tmp_path):
+    """--distance-margin < 1 guarantees the f64 oracle distance is
+    STRICTLY at/under the target (round-1 verdict #8): the engine
+    accepts with f32 arithmetic whose worst observed overshoot vs the
+    oracle is +0.08%, so a 0.12% margin absorbs it. Run on feasible
+    corpus images (photo crops / edges converge under target)."""
+    import guetzli_tpu
+    from guetzli_tpu.config import Params, ProcessStats
+
+    corpus = dict(build_corpus(bees_rgb))
+    for name in ("c11_photo_crop_96x96", "c12_photo_crop_80x64",
+                 "c04_edges_72x88"):
+        rgb = corpus[name]
+        params = Params(distance_margin=0.9988)
+        out = guetzli_tpu.process(rgb, quality=95, params=params,
+                                  stats=ProcessStats())
+        d = _oracle_distance(oracle, rgb, _decode(out), tmp_path,
+                             "margin_" + name)
+        assert d <= Q95_TARGET, (name, d)
+
+
 def test_corpus_sequential_progressive_identical(bees_rgb):
     """Progressive and sequential encodings of the same source must give
     byte-identical output (reference golden_checksums.txt:2,4)."""
