@@ -1,0 +1,40 @@
+#!/bin/bash
+# Capture ALL queued TPU measurements in one device window, in value order.
+# Each step is timeout-guarded and logged; a mid-sequence tunnel drop loses
+# only the remaining steps. Usage: tools/run_tpu_window.sh [outdir]
+set -u
+cd "$(dirname "$0")/.."
+TS=$(date +%Y%m%d_%H%M%S)
+OUT=${1:-benchmarks/tpu_window_$TS}
+mkdir -p "$OUT"
+echo "== TPU window capture -> $OUT =="
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  echo "-- $name ($(date +%H:%M:%S), timeout ${tmo}s)"
+  timeout "$tmo" "$@" >"$OUT/$name.log" 2>&1
+  local rc=$?
+  echo "   rc=$rc  $(tail -1 "$OUT/$name.log" | cut -c1-160)"
+  return $rc
+}
+
+# 0. health probe first — abort early if the window is degraded-unusable
+run probe 300 python tools/perf_probe.py || { echo "probe failed; aborting"; exit 1; }
+
+# 1. per-iteration refine-chunk breakdown (decides next optimization)
+run profile_iteration 1200 python tools/profile_iteration.py
+
+# 1b. fused-kernel VMEM ceiling (decides the FUSED_MAX_PIXELS default)
+run probe_fused_vmem 3600 python tools/probe_fused_vmem.py
+
+# 2. fused Pallas metric kernel micro + encode benchmark
+run bench_fused 1800 python tools/bench_fused.py --encode
+
+# 3. the headline driver bench (writes one JSON line)
+run bench 2400 python bench.py && cp "$OUT/bench.log" "$OUT/BENCH_window.json"
+
+# 4. BASELINE.md configs: 1 MPix q-sweep + batch16 (+8 MPix 4:2:0)
+run bench_configs 5400 python tools/bench_configs.py --mpix8
+
+echo "== window capture done ($(date +%H:%M:%S)) =="
+ls -la "$OUT"
