@@ -42,12 +42,23 @@ def main():
     # init hangs indefinitely). Emit an explicit unavailability record
     # instead of hanging the driver; covers ONLY device acquisition —
     # compiles/warm-up afterwards may legitimately take longer.
+    def _perf_history(n=5):
+        """Most recent device-health probes (tools/perf_probe.py log) —
+        context for interpreting an outage/degraded window."""
+        try:
+            lines = (REPO / "tools" / "perf_log.jsonl").read_text()
+            return [json.loads(ln) for ln in
+                    lines.strip().splitlines()[-n:]]
+        except Exception:
+            return []
+
     def _unavailable():
         print(json.dumps({
             "metric": "encode_throughput_q95", "value": 0.0,
             "unit": "MPix/s", "vs_baseline": 0.0,
             "detail": {"error": "tpu_device_acquisition_timeout",
-                       "timeout_s": DEVICE_ACQUIRE_TIMEOUT_S}}),
+                       "timeout_s": DEVICE_ACQUIRE_TIMEOUT_S,
+                       "recent_device_health": _perf_history()}}),
             flush=True)
         os._exit(7)
 
@@ -152,6 +163,8 @@ def main():
             "output_bytes_single": single_bytes,
         },
     }
+    if degraded:
+        result["detail"]["recent_device_health"] = _perf_history()
     print(json.dumps(result))
 
 
