@@ -52,13 +52,30 @@ def main():
         except Exception:
             return []
 
+    def _committed_evidence():
+        """Compact summary of committed real-TPU window captures so an
+        outage record still leads the reader to measured numbers."""
+        out = {}
+        try:
+            cfg = json.loads(
+                (REPO / "benchmarks" / "BENCH_CONFIGS.json").read_text())
+            out["BENCH_CONFIGS.json"] = {
+                k: {kk: v[kk] for kk in ("seconds", "mpix_s", "mpix_per_s")
+                    if kk in v}
+                for k, v in cfg.items() if isinstance(v, dict)}
+        except Exception:
+            pass
+        return out
+
     def _unavailable():
         print(json.dumps({
             "metric": "encode_throughput_q95", "value": 0.0,
             "unit": "MPix/s", "vs_baseline": 0.0,
             "detail": {"error": "tpu_device_acquisition_timeout",
                        "timeout_s": DEVICE_ACQUIRE_TIMEOUT_S,
-                       "recent_device_health": _perf_history()}}),
+                       "recent_device_health": _perf_history(),
+                       "committed_tpu_measurements": _committed_evidence()
+                       }}),
             flush=True)
         os._exit(7)
 

@@ -458,6 +458,13 @@ class ButteraugliComparatorTPU(Comparator):
             lin = srgb8_to_linear(lin)
             self._xyb0, self._pi0 = _precompute_pi0_dyn(
                 lin, jnp.int32(self.height), jnp.int32(self.width))
+            if self.fused:
+                # One-time hardware self-test per bucket: a Pallas
+                # failure (VMEM overflow on an untried canvas) degrades
+                # to the XLA metric path instead of killing the encode.
+                from guetzli_tpu.metric.fused_pallas import probe_fused
+                self.fused = probe_fused(lin, self._pi0,
+                                         self.height, self.width)
         else:
             self.hb, self.wb = self.height, self.width
             lin = srgb8_to_linear(jnp.asarray(rgb.transpose(2, 0, 1)))

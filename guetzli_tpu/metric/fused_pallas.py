@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 
 import numpy as np
 import jax
@@ -71,18 +72,56 @@ _FUSED_MAX_PIXELS = int(os.environ.get("GUETZLI_TPU_FUSED_MAX_PIXELS",
                                        147456))
 _ENV = os.environ.get("GUETZLI_TPU_FUSED_METRIC")
 
+# Flipped by probe_fused() on the first compile/run failure of a bucket:
+# the XLA metric path is always available, so a VMEM overflow (or any
+# backend Pallas defect) degrades to the slower path instead of killing
+# the encode.
+_RUNTIME_BROKEN = False
+
 
 def fused_metric_eligible(canvas_h: int, canvas_w: int) -> bool:
     """Static (trace-time) gate: env override, else TPU + VMEM bound.
     Callers must additionally pass fused=False when the image is
     sp-sharded (a Pallas call cannot be GSPMD-partitioned)."""
-    if _ENV == "0":
+    if _ENV == "0" or _RUNTIME_BROKEN:
         return False
     if canvas_h * canvas_w > _FUSED_MAX_PIXELS:
         return False
     if _ENV == "1":
         return True
     return jax.default_backend() == "tpu"
+
+
+_PROBED_OK: set = set()
+_PROBE_LOCK = threading.Lock()
+
+
+def probe_fused(lin: jax.Array, pi0, h: int, w: int) -> bool:
+    """Compile + run the fused kernel once for this canvas bucket (result
+    discarded; the executable is cached for the encode that follows).
+    Returns False — and disables the fused path process-wide — if the
+    kernel fails on this backend (e.g. VMEM overflow at a new bucket).
+    The caller falls back to the XLA metric path, which computes the
+    same diffmap. One probe per (H, W) bucket per process."""
+    global _RUNTIME_BROKEN
+    key = lin.shape[-2:]
+    with _PROBE_LOCK:
+        if _RUNTIME_BROKEN:
+            return False
+        if key in _PROBED_OK:
+            return True
+        try:
+            jax.block_until_ready(
+                fused_diffmap(lin, pi0, jnp.int32(h), jnp.int32(w)))
+            _PROBED_OK.add(key)
+            return True
+        except Exception as e:                  # noqa: BLE001
+            _RUNTIME_BROKEN = True
+            import sys
+            print(f"guetzli_tpu: fused metric kernel unavailable "
+                  f"({type(e).__name__}); using the XLA metric path",
+                  file=sys.stderr)
+            return False
 
 
 # ---------------------------------------------------------------------------

@@ -199,7 +199,8 @@ def _lanes_for_canvas(width: int, height: int) -> int:
     byte-identical to single-image mode)."""
     if _grouping_disabled():
         return 1
-    return max(1, min(8, 16_777_216 // (width * height)))
+    cap = int(os.environ.get("GUETZLI_TPU_GROUP_LANES", "8"))
+    return max(1, min(cap, 16_777_216 // (width * height)))
 
 
 def _refine_lanes(cfg) -> int:

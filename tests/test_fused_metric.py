@@ -126,3 +126,33 @@ def test_fused_compare_impl_end_to_end():
     # weight grids are thresholded; the threshold inputs differ by ~1e-6
     # relative, so grids must agree except at razor-edge ties
     assert (pa[1:] != pb[1:]).mean() < 0.01
+
+
+def test_probe_fused_fallback(monkeypatch):
+    """probe_fused validates a bucket once; a kernel failure disables the
+    fused path process-wide instead of propagating (the encode then uses
+    the XLA metric path)."""
+    rng = np.random.default_rng(7)
+    H, W, h, w = 48, 112, 41, 103
+    lin0, lin1 = _pair(rng, H, W, h, w)
+    pi0 = separate_frequencies(
+        opsin_dynamics_image(jnp.asarray(lin0), (h, w)), (h, w))
+
+    monkeypatch.setattr(fp, "_RUNTIME_BROKEN", False)
+    fp._PROBED_OK.discard((H, W))
+    assert fp.probe_fused(jnp.asarray(lin1), pi0, h, w)
+    assert (H, W) in fp._PROBED_OK
+    # second probe of the same bucket: cached, no kernel run
+    monkeypatch.setattr(fp, "fused_diffmap",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("probe not cached")))
+    assert fp.probe_fused(jnp.asarray(lin1), pi0, h, w)
+
+    # failure path: raising kernel -> False + process-wide disable
+    fp._PROBED_OK.discard((H, W))
+    def boom(*a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: vmem")
+    monkeypatch.setattr(fp, "fused_diffmap", boom)
+    assert not fp.probe_fused(jnp.asarray(lin1), pi0, h, w)
+    assert fp._RUNTIME_BROKEN
+    assert not fp.fused_metric_eligible(H, W)

@@ -36,5 +36,10 @@ run bench 2400 python bench.py && cp "$OUT/bench.log" "$OUT/BENCH_window.json"
 # 4. BASELINE.md configs: 1 MPix q-sweep + batch16 (+8 MPix 4:2:0)
 run bench_configs 5400 python tools/bench_configs.py --mpix8
 
+# 5. batch lane-cap A/B (picks the GUETZLI_TPU_GROUP_LANES default)
+run bench_lanes 3600 python tools/bench_lanes.py 8 16
+GUETZLI_TPU_LANES_AB_N=32 run bench_lanes32 3600 \
+  python tools/bench_lanes.py 16 32
+
 echo "== window capture done ($(date +%H:%M:%S)) =="
 ls -la "$OUT"
