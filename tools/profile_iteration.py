@@ -23,6 +23,9 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--mpix1", action="store_true",
+                    help="profile at the ~1 MPix bucket (mosaic of the "
+                         "photo) instead of the bees canvas")
     args = ap.parse_args()
 
     import jax
@@ -40,6 +43,9 @@ def main():
 
     rgb = np.asarray(Image.open(repo / "tests" / "data" / "bees.png")
                      .convert("RGB"))
+    if args.mpix1:
+        from tools.bench_configs import mosaic
+        rgb = mosaic(rgb, 810, 1280)          # ~1.04 MPix
     h, w = rgb.shape[:2]
     cmp_ = ButteraugliComparatorTPU(rgb, 0.9718)
     jpg = encode_rgb_to_jpeg(rgb)
@@ -60,8 +66,13 @@ def main():
               f"best {min(ts)*1000:8.2f} ms")
         return med
 
+    from guetzli_tpu.metric.fused_pallas import fused_metric_eligible
+    fused_opts = ((False, True)
+                  if fused_metric_eligible(cmp_.hb, cmp_.wb)
+                  else (False,))
+
     # 1. fused compare alone
-    for fused in (False, True):
+    for fused in fused_opts:
         def cmp_once(fused=fused):
             _, packed = _compare_coeffs_fused_dyn(
                 coeffs, cmp_._pi0, jnp.float32(0.9718), jnp.int32(h),
@@ -115,7 +126,7 @@ def main():
         cand_zpos=jnp.asarray(cand_zpos),
         zero_order_nat=jnp.asarray(zero_order_nat))
 
-    for fused in (False, True):
+    for fused in fused_opts:
         for blv in (1, 3):
             for k in (1, 16):
                 cfg = rd.RefineCfg(

@@ -23,6 +23,7 @@ run probe 300 python tools/perf_probe.py || { echo "probe failed; aborting"; exi
 
 # 1. per-iteration refine-chunk breakdown (decides next optimization)
 run profile_iteration 1200 python tools/profile_iteration.py
+run profile_iteration_1mpix 1800 python tools/profile_iteration.py --mpix1
 
 # 1b. fused-kernel VMEM ceiling (decides the FUSED_MAX_PIXELS default)
 run probe_fused_vmem 3600 python tools/probe_fused_vmem.py
