@@ -19,7 +19,7 @@ run() {  # run <name> <timeout_s> <cmd...>
 }
 
 # 0. health probe first — abort early if the window is degraded-unusable
-run probe 300 python tools/perf_probe.py || { echo "probe failed; aborting"; exit 1; }
+run probe 600 python tools/perf_probe.py || { echo "probe failed; aborting"; exit 1; }
 
 # 1. per-iteration refine-chunk breakdown (decides next optimization)
 run profile_iteration 1200 python tools/profile_iteration.py
