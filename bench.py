@@ -59,10 +59,12 @@ def main():
         try:
             cfg = json.loads(
                 (REPO / "benchmarks" / "BENCH_CONFIGS.json").read_text())
-            out["BENCH_CONFIGS.json"] = {
+            summary = {
                 k: {kk: v[kk] for kk in ("seconds", "mpix_s", "mpix_per_s")
                     if kk in v}
                 for k, v in cfg.items() if isinstance(v, dict)}
+            out["BENCH_CONFIGS.json"] = {k: v for k, v in summary.items()
+                                         if v}
         except Exception:
             pass
         return out

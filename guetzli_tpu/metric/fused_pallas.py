@@ -72,18 +72,21 @@ _FUSED_MAX_PIXELS = int(os.environ.get("GUETZLI_TPU_FUSED_MAX_PIXELS",
                                        147456))
 _ENV = os.environ.get("GUETZLI_TPU_FUSED_METRIC")
 
-# Flipped by probe_fused() on the first compile/run failure of a bucket:
-# the XLA metric path is always available, so a VMEM overflow (or any
-# backend Pallas defect) degrades to the slower path instead of killing
-# the encode.
-_RUNTIME_BROKEN = False
+# Buckets whose probe_fused() compile/run failed: the XLA metric path is
+# always available, so a VMEM overflow (or any backend Pallas defect)
+# degrades THAT BUCKET to the slower path instead of killing the encode.
+# Per-bucket (not process-wide) so one oversized bucket doesn't strip
+# proven-good buckets of the fused path, and so every comparator of a
+# given bucket makes the same fused/XLA choice (first probe decides
+# permanently) — batch-mode determinism relies on that consistency.
+_BROKEN_BUCKETS: set = set()
 
 
 def fused_metric_eligible(canvas_h: int, canvas_w: int) -> bool:
     """Static (trace-time) gate: env override, else TPU + VMEM bound.
     Callers must additionally pass fused=False when the image is
     sp-sharded (a Pallas call cannot be GSPMD-partitioned)."""
-    if _ENV == "0" or _RUNTIME_BROKEN:
+    if _ENV == "0" or (canvas_h, canvas_w) in _BROKEN_BUCKETS:
         return False
     if canvas_h * canvas_w > _FUSED_MAX_PIXELS:
         return False
@@ -93,20 +96,26 @@ def fused_metric_eligible(canvas_h: int, canvas_w: int) -> bool:
 
 
 _PROBED_OK: set = set()
-_PROBE_LOCK = threading.Lock()
+_PROBE_LOCKS: dict = {}
+_PROBE_LOCKS_GUARD = threading.Lock()
 
 
 def probe_fused(lin: jax.Array, pi0, h: int, w: int) -> bool:
-    """Compile + run the fused kernel once for this canvas bucket (result
-    discarded; the executable is cached for the encode that follows).
-    Returns False — and disables the fused path process-wide — if the
-    kernel fails on this backend (e.g. VMEM overflow at a new bucket).
-    The caller falls back to the XLA metric path, which computes the
-    same diffmap. One probe per (H, W) bucket per process."""
-    global _RUNTIME_BROKEN
-    key = lin.shape[-2:]
-    with _PROBE_LOCK:
-        if _RUNTIME_BROKEN:
+    """Hardware self-test of the fused kernel for this canvas bucket:
+    compile + run it once (result discarded; the encode's enclosing
+    jitted programs compile their own copies — the probe validates that
+    the kernel itself compiles/fits VMEM on this backend). Returns
+    False — and marks the BUCKET broken — on failure; callers fall back
+    to the XLA metric path, which computes the same diffmap. One probe
+    per (H, W) bucket per process; the first probe's outcome is
+    permanent, so every comparator of a bucket makes the same choice.
+    Locked per bucket so concurrent batch workers probing different
+    buckets don't serialize."""
+    key = tuple(lin.shape[-2:])
+    with _PROBE_LOCKS_GUARD:
+        lock = _PROBE_LOCKS.setdefault(key, threading.Lock())
+    with lock:
+        if key in _BROKEN_BUCKETS:
             return False
         if key in _PROBED_OK:
             return True
@@ -116,11 +125,11 @@ def probe_fused(lin: jax.Array, pi0, h: int, w: int) -> bool:
             _PROBED_OK.add(key)
             return True
         except Exception as e:                  # noqa: BLE001
-            _RUNTIME_BROKEN = True
+            _BROKEN_BUCKETS.add(key)
             import sys
-            print(f"guetzli_tpu: fused metric kernel unavailable "
-                  f"({type(e).__name__}); using the XLA metric path",
-                  file=sys.stderr)
+            print(f"guetzli_tpu: fused metric kernel unavailable at "
+                  f"bucket {key} ({type(e).__name__}); using the XLA "
+                  f"metric path", file=sys.stderr)
             return False
 
 

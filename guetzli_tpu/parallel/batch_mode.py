@@ -282,8 +282,11 @@ def _requant_handler(payloads: List[dict], cache: dict) -> List[np.ndarray]:
 
     groups: Dict[tuple, List[int]] = {}
     for i, p in enumerate(payloads):
+        # `fused` is in the key so a lane group never mixes metric
+        # paths: ps[0]'s flag below applies to the whole group.
         key = (p["wb"], p["hb"], p["factors"], p["q"].shape,
-               base_struct(p["base"]), _placement_of(p["pi0"]))
+               base_struct(p["base"]), _placement_of(p["pi0"]),
+               p.get("fused", False))
         groups.setdefault(key, []).append(i)
 
     results: List[Optional[np.ndarray]] = [None] * len(payloads)

@@ -130,15 +130,15 @@ def test_fused_compare_impl_end_to_end():
 
 def test_probe_fused_fallback(monkeypatch):
     """probe_fused validates a bucket once; a kernel failure disables the
-    fused path process-wide instead of propagating (the encode then uses
-    the XLA metric path)."""
+    fused path for THAT BUCKET only instead of propagating (the encode
+    then uses the XLA metric path; other buckets keep the kernel)."""
     rng = np.random.default_rng(7)
     H, W, h, w = 48, 112, 41, 103
     lin0, lin1 = _pair(rng, H, W, h, w)
     pi0 = separate_frequencies(
         opsin_dynamics_image(jnp.asarray(lin0), (h, w)), (h, w))
 
-    monkeypatch.setattr(fp, "_RUNTIME_BROKEN", False)
+    fp._BROKEN_BUCKETS.discard((H, W))
     fp._PROBED_OK.discard((H, W))
     assert fp.probe_fused(jnp.asarray(lin1), pi0, h, w)
     assert (H, W) in fp._PROBED_OK
@@ -148,11 +148,17 @@ def test_probe_fused_fallback(monkeypatch):
                             AssertionError("probe not cached")))
     assert fp.probe_fused(jnp.asarray(lin1), pi0, h, w)
 
-    # failure path: raising kernel -> False + process-wide disable
+    # failure path: raising kernel -> False + per-bucket disable
     fp._PROBED_OK.discard((H, W))
     def boom(*a, **k):
         raise RuntimeError("RESOURCE_EXHAUSTED: vmem")
     monkeypatch.setattr(fp, "fused_diffmap", boom)
     assert not fp.probe_fused(jnp.asarray(lin1), pi0, h, w)
-    assert fp._RUNTIME_BROKEN
+    assert (H, W) in fp._BROKEN_BUCKETS
     assert not fp.fused_metric_eligible(H, W)
+    # a different bucket is unaffected (per-bucket, not process-wide)
+    assert (64, 128) not in fp._BROKEN_BUCKETS
+    monkeypatch.setenv("GUETZLI_TPU_FUSED_METRIC", "1")
+    monkeypatch.setattr(fp, "_ENV", "1")
+    assert fp.fused_metric_eligible(64, 128)
+    fp._BROKEN_BUCKETS.discard((H, W))

@@ -1,12 +1,17 @@
 """A/B the batch-mode vmap lane cap (GUETZLI_TPU_GROUP_LANES).
 
-Encodes the same 16-image noisy-bees batch at each lane cap and prints
-throughput per setting. The cap is read at import time by batch_mode, so
-each setting runs in a fresh subprocess. Run inside a healthy TPU window
-after bench.py has warmed the default (8-lane) executables; other caps
-pay their own compiles in the reported warm-up, not the measurement.
+Encodes the same noisy-bees batch (default 16 images) at each lane cap
+and prints throughput per setting. Each cap runs in a fresh subprocess
+so no jitted executables or batcher group state leak between settings.
+Run inside a healthy TPU window after bench.py has warmed the default
+(8-lane) executables; other caps pay their own compiles in the reported
+warm-up, not the measurement.
 
-Writes benchmarks/LANES_AB.json.
+Writes benchmarks/LANES_AB_n{N}.json (N = GUETZLI_TPU_LANES_AB_N,
+default 16); partial results are written even if a lane cap fails or
+times out. Env knobs for off-TPU smoke testing: GUETZLI_TPU_LANES_AB_CPU
+(force the CPU backend), GUETZLI_TPU_LANES_AB_CROP (square-crop the
+test image).
 """
 
 import json
@@ -57,14 +62,30 @@ def main():
         env = dict(os.environ, GUETZLI_TPU_GROUP_LANES=lanes,
                    GUETZLI_TPU_BATCH_WORKERS="16")
         t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, "-c", CHILD.format(repo=str(REPO))],
-            env=env, capture_output=True, text=True, timeout=3600)
-        line = (proc.stdout.strip().splitlines() or ["{}"])[-1]
         try:
-            rec = json.loads(line)
-        except json.JSONDecodeError:
-            rec = {"lanes": lanes, "error": proc.stderr[-500:]}
+            proc = subprocess.run(
+                [sys.executable, "-c", CHILD.format(repo=str(REPO))],
+                env=env, capture_output=True, text=True, timeout=3600)
+        except subprocess.TimeoutExpired as e:
+            rec = {"lanes": lanes, "error": "timeout",
+                   "stderr": ((e.stderr or b"").decode("utf-8", "replace")
+                              if isinstance(e.stderr, bytes)
+                              else (e.stderr or ""))[-500:]}
+            rec["wall_s"] = round(time.time() - t0, 1)
+            print(json.dumps(rec), flush=True)
+            results.append(rec)
+            continue
+        rec = None
+        if proc.returncode == 0:
+            line = (proc.stdout.strip().splitlines() or [""])[-1]
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                rec = None
+        if not rec:
+            rec = {"lanes": lanes, "rc": proc.returncode,
+                   "error": "child failed",
+                   "stderr": proc.stderr[-500:]}
         rec["wall_s"] = round(time.time() - t0, 1)
         print(json.dumps(rec), flush=True)
         results.append(rec)

@@ -66,10 +66,9 @@ def main():
               f"best {min(ts)*1000:8.2f} ms")
         return med
 
-    from guetzli_tpu.metric.fused_pallas import fused_metric_eligible
-    fused_opts = ((False, True)
-                  if fused_metric_eligible(cmp_.hb, cmp_.wb)
-                  else (False,))
+    # cmp_.fused is the complete decision (eligibility AND hardware
+    # probe AND sp gating) — don't re-derive it here.
+    fused_opts = (False, True) if cmp_.fused else (False,)
 
     # 1. fused compare alone
     for fused in fused_opts:

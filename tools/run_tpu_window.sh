@@ -2,12 +2,17 @@
 # Capture ALL queued TPU measurements in one device window, in value order.
 # Each step is timeout-guarded and logged; a mid-sequence tunnel drop loses
 # only the remaining steps. Usage: tools/run_tpu_window.sh [outdir]
+# Exit codes: 0 = all steps ran clean; 1 = health probe failed (window
+# unusable); 2 = probe ok but >=1 later step failed (partial capture —
+# the waiter retries so a tunnel drop mid-battery doesn't forfeit the
+# remaining steps; re-runs are cheap against the persistent cache).
 set -u
 cd "$(dirname "$0")/.."
 TS=$(date +%Y%m%d_%H%M%S)
 OUT=${1:-benchmarks/tpu_window_$TS}
 mkdir -p "$OUT"
 echo "== TPU window capture -> $OUT =="
+FAILED=0
 
 run() {  # run <name> <timeout_s> <cmd...>
   local name=$1 tmo=$2; shift 2
@@ -15,6 +20,7 @@ run() {  # run <name> <timeout_s> <cmd...>
   timeout "$tmo" "$@" >"$OUT/$name.log" 2>&1
   local rc=$?
   echo "   rc=$rc  $(tail -1 "$OUT/$name.log" | cut -c1-160)"
+  [ $rc -ne 0 ] && FAILED=1
   return $rc
 }
 
@@ -37,10 +43,14 @@ run bench 2400 python bench.py && cp "$OUT/bench.log" "$OUT/BENCH_window.json"
 # 4. BASELINE.md configs: 1 MPix q-sweep + batch16 (+8 MPix 4:2:0)
 run bench_configs 5400 python tools/bench_configs.py --mpix8
 
-# 5. batch lane-cap A/B (picks the GUETZLI_TPU_GROUP_LANES default)
-run bench_lanes 3600 python tools/bench_lanes.py 8 16
-GUETZLI_TPU_LANES_AB_N=32 run bench_lanes32 3600 \
+# 5. batch lane-cap A/B (picks the GUETZLI_TPU_GROUP_LANES default).
+# Outer timeout > sum of the children's internal 3600s budgets so a slow
+# first cap can't get the step killed before partial results are written.
+run bench_lanes 7500 python tools/bench_lanes.py 8 16
+GUETZLI_TPU_LANES_AB_N=32 run bench_lanes32 7500 \
   python tools/bench_lanes.py 16 32
 
-echo "== window capture done ($(date +%H:%M:%S)) =="
+echo "== window capture done ($(date +%H:%M:%S), failed=$FAILED) =="
 ls -la "$OUT"
+[ $FAILED -ne 0 ] && exit 2
+exit 0
