@@ -51,6 +51,7 @@ GUETZLI_TPU_LANES_AB_N=32 run bench_lanes32 7500 \
   python tools/bench_lanes.py 16 32
 
 echo "== window capture done ($(date +%H:%M:%S), failed=$FAILED) =="
+python tools/summarize_window.py "$OUT" > /dev/null 2>&1 || true
 ls -la "$OUT"
 [ $FAILED -ne 0 ] && exit 2
 exit 0
