@@ -115,9 +115,10 @@ def main():
                         np.uint8)
             for _ in range(BATCH)]
 
-    # Enough workers that refine groups fill their 8 vmap lanes (the
-    # chip does the work; host threads mostly wait on it).
-    os.environ.setdefault("GUETZLI_TPU_BATCH_WORKERS", "16")
+    # Worker count: process_batch's default scales with host cores
+    # (min(16, 4*cores)). Forcing 16 on a 1-core host measured 20.8
+    # s/image vs 6.7 s single-mode (2026-08-18 window) — host-side GIL
+    # thrash, not chip time — so trust the adaptive default here.
 
     # --- warm-up: compiles/loads everything (single-mode AND the
     # grouped batch executables); never reported ---

@@ -66,10 +66,15 @@ SIGMAS = (
     (1.72547472444, 1.0),                          # CalculateDiffmap
 )
 
-# 480x304 (the bees bucket) fits with ~15 live planes; raise after
-# VMEM headroom is confirmed on hardware.
+# Measured on v5e hardware (2026-08-18, chipless AOT compiler): the
+# single-program metric kernel VMEM-OOMs ("allocating on stack") for
+# canvases >= 160x256 — Mosaic keeps ~100 (H, W) planes live because the
+# cascade's dependencies defeat the 2-slot streaming plan — while
+# 128x256 compiles and runs. Default to the proven ceiling; larger
+# buckets use the XLA metric path until the kernel is split into
+# VMEM-bounded stages (ROADMAP).
 _FUSED_MAX_PIXELS = int(os.environ.get("GUETZLI_TPU_FUSED_MAX_PIXELS",
-                                       147456))
+                                       32768))
 _ENV = os.environ.get("GUETZLI_TPU_FUSED_METRIC")
 
 # Buckets whose probe_fused() compile/run failed: the XLA metric path is
@@ -127,9 +132,10 @@ def probe_fused(lin: jax.Array, pi0, h: int, w: int) -> bool:
         except Exception as e:                  # noqa: BLE001
             _BROKEN_BUCKETS.add(key)
             import sys
+            detail = " ".join(str(e).split())[:1200]
             print(f"guetzli_tpu: fused metric kernel unavailable at "
                   f"bucket {key} ({type(e).__name__}); using the XLA "
-                  f"metric path", file=sys.stderr)
+                  f"metric path\n  detail: {detail}", file=sys.stderr)
             return False
 
 
@@ -398,6 +404,20 @@ def fused_diffmap_batch(lin: jax.Array, pi0_stack: jax.Array,
     # Non-TPU backends (CPU tests with GUETZLI_TPU_FUSED_METRIC=1) run
     # the kernel through the Pallas interpreter.
     interpret = interpret or jax.default_backend() != "tpu"
+    # Mosaic restriction: in-kernel channel slices of a VMEM ref whose
+    # lane (last) dim is not a multiple of the 128 tiling fail to compile
+    # ("Slice shape along dimension 3 must be aligned to tiling (128)").
+    # Pad the canvas to tile multiples here and crop the result; the
+    # padded region is more canvas zeros (true dims h/w drive masked()
+    # and the blur renormalization weights), so values inside the
+    # original canvas are untouched.
+    Hp, Wp = -(-H // 8) * 8, -(-W // 128) * 128
+    if (Hp, Wp) != (H, W):
+        pad = [(0, 0), (0, 0), (0, Hp - H), (0, Wp - W)]
+        dm = fused_diffmap_batch(jnp.pad(lin, pad),
+                                 jnp.pad(pi0_stack, pad), h, w,
+                                 interpret=interpret)
+        return dm[:, :H, :W]
     invh, invw = jax.vmap(lambda hh, ww: _inv_weights(hh, ww, H, W))(h, w)
     hw = jnp.stack([h, w], axis=1).astype(jnp.int32)
     return pl.pallas_call(
