@@ -38,7 +38,7 @@ def main():
     from PIL import Image
     from guetzli_tpu.metric.comparator import (ButteraugliComparatorTPU,
                                                _compare_coeffs_fused_dyn)
-    from guetzli_tpu.jpeg.encoder import encode_rgb_to_jpeg
+    from guetzli_tpu.jpeg.encoder import encode_rgb_to_jpeg_data
     from guetzli_tpu.search import refine_device as rd
 
     rgb = np.asarray(Image.open(repo / "tests" / "data" / "bees.png")
@@ -48,8 +48,9 @@ def main():
         rgb = mosaic(rgb, 810, 1280)          # ~1.04 MPix
     h, w = rgb.shape[:2]
     cmp_ = ButteraugliComparatorTPU(rgb, 0.9718)
-    jpg = encode_rgb_to_jpeg(rgb)
-    coeff_list = [np.asarray(c.coeffs, np.int32) * 8
+    jpg = encode_rgb_to_jpeg_data(rgb)
+    nby, nbx = -(-h // 8), -(-w // 8)
+    coeff_list = [np.asarray(c.coeffs, np.int32).reshape(nby, nbx, 64) * 8
                   for c in jpg.components]
     coeffs = jnp.asarray(np.stack([cmp_.pad_comp_grid(c, 1)
                                    for c in coeff_list]))
