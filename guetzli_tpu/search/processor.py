@@ -800,6 +800,10 @@ class Processor:
             zero_order=jnp.asarray(zero_order),
             cand_zpos=jnp.asarray(cand_zpos),
             zero_order_nat=jnp.asarray(zero_order_nat))
+        # Pass-constant bit-curve symbol grids (one device program per
+        # pass; saves ~290 ms/chunk at 1 MPix vs re-deriving in-chunk).
+        consts = consts._replace(
+            bit_setup=rd.bits_setup_device(consts, cfg))
 
         # sp sharding: pi0 is row-sharded by the comparator; the block
         # bookkeeping replicates on the same submesh so the whole chunk

@@ -117,6 +117,12 @@ class RefineConsts(NamedTuple):
     cand_zpos: jax.Array     # (N, steps) i32 zigzag position (1..63)
     zero_order_nat: jax.Array  # (N, 192) i32: same table in natural
     #                            coefficient layout (steps+1 = never)
+    bit_setup: Optional[tuple] = None
+    #   Pass-constant symbol grids from bits_setup() — when present,
+    #   _bits_curve uses the cheap per-chunk path (apply the refreshed
+    #   depth tables to precomputed (N, steps) symbol grids) instead of
+    #   re-deriving the prev/next-nonzero dominance structure, which
+    #   costs ~290 ms per chunk at 1 MPix.
 
 
 class RefineCarry(NamedTuple):
@@ -235,7 +241,118 @@ def _bits_curve_scan(consts: RefineConsts, cfg: RefineCfg):
     return cumdb3, bits0
 
 
+def bits_setup(consts: RefineConsts, cfg: RefineCfg):
+    """Pass-constant half of the bit-delta curve: the (run, size) symbol
+    grids that describe how zeroing each candidate rewrites its block's
+    JPEG scan stream. Everything here depends only on the pass-initial
+    state and the zeroing order — NOT on the per-chunk Huffman depth
+    refresh — so the processor computes it once per masking pass and
+    _bits_curve applies the current depth tables to it per chunk.
+
+    Returns 9 (N, steps) arrays: sym_k (the removed coefficient's
+    run/size symbol), sym_old / sym_new (the next nonzero coefficient's
+    symbol before/after the run merge), nb_k (magnitude bits removed),
+    zrl_rem (ZRL escapes under the removed symbol, r1 >> 4), zrl_delta
+    ((rm >> 4) - (r2 >> 4), the net ZRL change at the next coefficient),
+    has_next, is63 (bool), apply (bool application mask)."""
+    n, steps = cfg.n_blocks, cfg.steps
+    j = jnp.arange(steps, dtype=jnp.int32)[None, None, :]   # (1,1,S)
+    p = jnp.arange(1, 64, dtype=jnp.int32)[None, :, None]   # (1,63,1)
+    k = consts.cand_zpos[:, None, :]                        # (N,1,S)
+    cand_c = consts.cand_idx // 64                          # (N,S)
+    base_mask = ((jnp.arange(steps, dtype=jnp.int32)[None, :]
+                  < consts.cand_count[:, None])
+                 & ~consts.prec & consts.row_valid[:, None])
+
+    zero = jnp.zeros((n, steps), jnp.int32)
+    sym_k = zero
+    sym_old = zero
+    sym_new = zero
+    nb_kg = zero
+    zrl_rem = zero
+    zrl_del = zero
+    has_next_g = jnp.zeros((n, steps), bool)
+    for c in range(3):
+        if not (cfg.comp_mask & (1 << c)):
+            continue
+        vz = (consts.init192[:, c * 64 + _NAT_AC]
+              // consts.quant_zz[c][None, :])               # (N,63)
+        nz = vz != 0
+        a = jnp.abs(vz)
+        nbv = jnp.zeros_like(vz)
+        for b in range(13):
+            nbv = nbv + (a >= (1 << b)).astype(vz.dtype)
+        o = consts.zero_order[:, c, :]                      # (N,63)
+
+        alive = (nz[:, :, None] & (o[:, :, None] > j))      # (N,63,S)
+        prev = jnp.max(jnp.where(alive & (p < k), p, 0), axis=1)
+        nxt = jnp.min(jnp.where(alive & (p > k), p, 64), axis=1)
+        nb_k = jnp.max(jnp.where(p == k, nbv[:, :, None], 0), axis=1)
+        nb_n = jnp.max(jnp.where(p == nxt[:, None, :], nbv[:, :, None],
+                                 0), axis=1)
+
+        k2 = consts.cand_zpos                               # (N,S)
+        r1 = k2 - prev - 1
+        rm = nxt - prev - 1          # merged run at next after zeroing
+        r2 = nxt - k2 - 1            # old run at next
+        sel = cand_c == c
+        sym_k = jnp.where(sel, ((r1 & 15) << 4) | nb_k, sym_k)
+        sym_old = jnp.where(sel, ((r2 & 15) << 4) | nb_n, sym_old)
+        sym_new = jnp.where(sel, ((rm & 15) << 4) | nb_n, sym_new)
+        nb_kg = jnp.where(sel, nb_k, nb_kg)
+        zrl_rem = jnp.where(sel, r1 >> 4, zrl_rem)
+        zrl_del = jnp.where(sel, (rm >> 4) - (r2 >> 4), zrl_del)
+        has_next_g = jnp.where(sel, nxt < 64, has_next_g)
+    is63 = consts.cand_zpos == 63
+    return (sym_k, sym_old, sym_new, nb_kg, zrl_rem, zrl_del,
+            has_next_g, is63, base_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def bits_setup_device(consts: RefineConsts, cfg: RefineCfg):
+    return bits_setup(consts, cfg)
+
+
+def _bits_curve_fast(consts: RefineConsts, cfg: RefineCfg):
+    """Per-chunk half: apply the current depth tables to the
+    pass-constant symbol grids. All elementwise over (N, steps) plus
+    three 768-entry table takes — ~100x less work than re-deriving the
+    dominance structure."""
+    (sym_k, sym_old, sym_new, nb_k, zrl_rem, zrl_del,
+     has_next, is63, apply_) = consts.bit_setup
+    n, steps = cfg.n_blocks, cfg.steps
+    bits_init = _all_comp_bits(consts.init192, consts, cfg.comp_mask)
+    bits0 = jnp.sum(bits_init, axis=0) + consts.pad_eob_bits
+
+    cand_c = consts.cand_idx // 64
+    dtab = consts.depths.reshape(-1)                 # (3*256,)
+    off = cand_c * 256
+    dep_k = jnp.take(dtab, off + sym_k)
+    dep_old = jnp.take(dtab, off + sym_old)
+    dep_new = jnp.take(dtab, off + sym_new)
+    dz = jnp.take(dtab, off + 0xF0)
+    d0 = jnp.take(dtab, off)
+    removed = dep_k + nb_k + zrl_rem * dz
+    delta_next = dep_new - dep_old + zrl_del * dz
+    delta = jnp.where(has_next, delta_next - removed,
+                      jnp.where(is63, d0, 0) - removed)
+    db = jnp.where(apply_, delta, 0)
+    db3 = jnp.where(cand_c[:, :, None]
+                    == jnp.arange(3, dtype=jnp.int32)[None, None, :],
+                    db[:, :, None], 0)
+    cum = jnp.cumsum(db3, axis=1)
+    cumdb3 = jnp.concatenate(
+        [jnp.zeros((n, 1, 3), jnp.int32), cum], axis=1)
+    return cumdb3, bits0
+
+
 def _bits_curve(consts: RefineConsts, cfg: RefineCfg):
+    if consts.bit_setup is not None:
+        return _bits_curve_fast(consts, cfg)
+    return _bits_curve_full(consts, cfg)
+
+
+def _bits_curve_full(consts: RefineConsts, cfg: RefineCfg):
     """Per-candidate bit deltas along each block's application order —
     closed form, fully parallel over (block, candidate).
 

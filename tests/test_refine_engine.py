@@ -121,6 +121,26 @@ def test_bits_model_matches_host_histograms(rng):
         assert got == want, (trial, got, want)
 
 
+def test_bits_setup_fast_path_matches_full(rng):
+    """The split pass-constant-setup + per-chunk-depth-apply path must
+    reproduce the monolithic closed-form curve exactly (it is the same
+    int32 arithmetic with the depth gathers factored out)."""
+    quant, state, cand_idx, cand_count, prec = _make_problem(rng)
+    n, steps = cand_idx.shape
+    for trial in range(3):
+        depths = (rng.integers(1, 17, (3, 256))).astype(np.int32)
+        consts = _consts(quant, state, cand_idx, cand_count, prec,
+                         depths)
+        cfg = _cfg(n, steps)
+        cum_full, bits0_full = rd._bits_curve_full(consts, cfg)
+        consts_fast = consts._replace(
+            bit_setup=rd.bits_setup(consts, cfg))
+        cum_fast, bits0_fast = rd._bits_curve(consts_fast, cfg)
+        assert np.array_equal(np.asarray(bits0_fast),
+                              np.asarray(bits0_full))
+        assert np.array_equal(np.asarray(cum_fast), np.asarray(cum_full))
+
+
 def test_closed_form_curve_matches_scan(rng):
     """The closed-form bit-delta curve (one symbol removed, next run
     merged, EOB edge) must equal the sequential full-recompute scan for
