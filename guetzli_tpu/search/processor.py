@@ -845,6 +845,30 @@ class Processor:
                 self.final_output.score = score
             return len(encoded)
 
+        # Anytime-best serialization runs on a worker thread, overlapped
+        # with the next chunk's device execution (the tunnel pull
+        # releases the GIL; serialization is ~0.12 s/chunk of host time
+        # at 1 MPix). One job in flight; join-before-submit keeps
+        # maybe_out's final_output updates sequential. Flush before any
+        # read of final_output (the stop-early threshold) and at phase
+        # end, so trajectory-visible state is exactly as in the
+        # synchronous order.
+        import threading
+        ser_thread = [None]
+
+        def ser_flush():
+            t = ser_thread[0]
+            if t is not None:
+                t.join()
+                ser_thread[0] = None
+
+        def maybe_out_async(n_np, dist):
+            ser_flush()
+            t = threading.Thread(target=maybe_out,
+                                 args=(np.array(n_np, copy=True), dist))
+            t.start()
+            ser_thread[0] = t
+
         cur_n = np.zeros(nb_eff, dtype=np.int32)
         for direction in (1, -1):
             carry = carry._replace(direction=jnp.int32(direction),
@@ -855,9 +879,11 @@ class Processor:
                         init192, cand_idx, cand_count, prec, cur_n))
                     depth_t, pad_bits, frozen_fudged, header_dc = \
                         entropy_consts(state3)
-                stop_thr = (1.01 * len(self.final_output.jpeg_data)
-                            if (stop_early and direction == -1)
-                            else np.inf)
+                if stop_early and direction == -1:
+                    ser_flush()   # stop_thr reads final_output
+                    stop_thr = 1.01 * len(self.final_output.jpeg_data)
+                else:
+                    stop_thr = np.inf
                 refreshed = dict(
                     depths=jnp.asarray(depth_t),
                     pad_eob_bits=jnp.asarray(pad_bits),
@@ -896,12 +922,14 @@ class Processor:
                          f"Est[{int(row[4])}] D[{row[5]:.4f}]")
                 if summary["best_flag"] and \
                         summary["best_score"] < last_best_serialized:
-                    maybe_out(np.asarray(carry.best_n),
-                              summary["best_dist"])
+                    maybe_out_async(np.asarray(carry.best_n),
+                                    summary["best_dist"])
                     last_best_serialized = summary["best_score"]
                 if summary["phase_done"]:
+                    ser_flush()
                     maybe_out(cur_n, summary["dist"])
                     break
+        ser_flush()
         self.comparator.distance = summary["dist"]
 
     # --- 420 zeroing-pass data assembly -------------------------------
