@@ -60,6 +60,9 @@ def _load():
     lib.gtpu_entropy_size.restype = ctypes.c_int64
     lib.gtpu_block_ac_histograms.argtypes = [i32p, ctypes.c_int64, i64p]
     lib.gtpu_block_ac_histograms.restype = None
+    lib.gtpu_total_ac_hist_nat.argtypes = [i32p, ctypes.c_int64, i32p,
+                                           i32p, ctypes.c_int64, i64p]
+    lib.gtpu_total_ac_hist_nat.restype = None
     lib.gtpu_component_histograms.argtypes = [i32p, ctypes.c_int64, i64p,
                                               i64p]
     lib.gtpu_component_histograms.restype = None
@@ -140,6 +143,24 @@ def block_ac_histograms(zz: np.ndarray) -> np.ndarray:
     z = np.ascontiguousarray(zz, dtype=np.int32)
     out = np.zeros((z.shape[0], 256), dtype=np.int64)
     lib.gtpu_block_ac_histograms(_i32p(z), z.shape[0], _i64p(out))
+    return out
+
+
+def total_ac_hist_nat(state3: np.ndarray, ci: int,
+                      quant_nat: np.ndarray) -> np.ndarray:
+    """(N, C, 64) natural-order int32 state (multiples of quant) ->
+    (256,) int64 total AC histogram of component ci (x2 counting,
+    ZRL/EOB included), one C pass with the division and zigzag reorder
+    folded in — no per-block histogram materialization."""
+    lib = _load()
+    st = np.ascontiguousarray(state3, dtype=np.int32)
+    n, ncomp, _ = st.shape
+    q = np.ascontiguousarray(quant_nat, dtype=np.int32)
+    out = np.zeros(256, dtype=np.int64)
+    ptr = ctypes.cast(st.ctypes.data + ci * 64 * 4,
+                      ctypes.POINTER(ctypes.c_int32))
+    lib.gtpu_total_ac_hist_nat(ptr, ncomp * 64, _i32p(q),
+                               _i32p(_zigzag_table()), n, _i64p(out))
     return out
 
 

@@ -273,6 +273,39 @@ void gtpu_block_ac_histograms(const int32_t* zz, int64_t n, int64_t* out) {
   }
 }
 
+// Total AC histogram of one component directly from the NATURAL-order
+// dequantized state grid (strided rows), with the quant division and
+// zigzag reorder folded into the pass — the chunk-boundary entropy
+// refresh needs only this total, not the (n x 256) per-block
+// materialization (which cost ~0.2 s per chunk at 1 MPix on a 1-core
+// host). nat: rows at nat + b*stride, 64 natural-order int32 multiples
+// of quant; quant: 64 natural-order; zig: zigzag position -> natural
+// index (NATURAL_ORDER). ADDS x2 counts into out (256).
+void gtpu_total_ac_hist_nat(const int32_t* nat, int64_t stride,
+                            const int32_t* quant, const int32_t* zig,
+                            int64_t n, int64_t* out) {
+  for (int64_t b = 0; b < n; ++b) {
+    const int32_t* row = nat + b * stride;
+    int run = 0;
+    int last_nz = 0;
+    for (int k = 1; k < 64; ++k) {
+      int32_t v = row[zig[k]] / quant[zig[k]];
+      if (v == 0) {
+        ++run;
+        continue;
+      }
+      while (run > 15) {
+        out[0xF0] += 2;
+        run -= 16;
+      }
+      out[(run << 4) | NBits(v)] += 2;
+      run = 0;
+      last_nz = k;
+    }
+    if (last_nz < 63) out[0] += 2;  // EOB
+  }
+}
+
 // Sum of per-block AC histograms over all blocks, plus DC histogram:
 // one pass over a whole component. dc_hist/ac_hist are 257 int64
 // (caller-initialized; this ADDS 2x counts, leaving sentinels alone).
