@@ -41,7 +41,12 @@ from guetzli_tpu.metric.opsin import (OPSIN_MIX, _GAMMA_PIECE_COEF,
                                       _GAMMA_PIECE_TLO, _GAMMA_PIECE_THI,
                                       _GAMMA_PIECE_DEG, _GAMMA_MIN)
 
-BLOCK_TILE = 128      # blocks per grid step (lane dim)
+BLOCK_TILE = 512      # blocks per grid step (lane dim)
+# Grid steps run sequentially on the single TensorCore and each greedy
+# step inside one is latency- (not throughput-) bound, so wider tiles
+# cut the sequential step count almost linearly: 128 -> 512 lanes is
+# ~4x fewer grid steps for ~the same per-step latency. VMEM at 512:
+# ~15 live (192, 512) f32 planes = ~5.9 MB.
 INF = np.float32(1e17)
 
 
