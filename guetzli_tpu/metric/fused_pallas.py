@@ -207,6 +207,166 @@ def _diff_precompute(p0, p1, vh, vw, row, col):
     return jnp.minimum(mul0 * jnp.minimum(grad(p0), grad(p1)), cutoff)
 
 
+# ---------------------------------------------------------------------------
+# Stage bodies, shared by the single-program mega-kernel (small canvases)
+# and the stripe-tiled staged kernels (fused_staged.py, megapixel
+# canvases). Each takes a `blur` callback (x, sigma_index) -> blurred
+# (index into SIGMAS) so callers control canvas vs slab blurs; all
+# pointwise math traces the same jnp module functions the XLA path runs.
+# ---------------------------------------------------------------------------
+
+
+def stage_opsin(lin, blur):
+    """[3 linear RGB planes] -> [3 XYB opsin-dynamics planes]
+    (butteraugli.cc:324-366)."""
+    blurred = [blur(lin[c], 0) for c in range(3)]
+    m = opsin_mod.OPSIN_MIX
+
+    def absorb(rgb):
+        return [float(m[c, 0]) * rgb[0] + float(m[c, 1]) * rgb[1]
+                + float(m[c, 2]) * rgb[2] + float(m[c, 3])
+                for c in range(3)]
+
+    pre = absorb(blurred)
+    sens = [opsin_mod.gamma_fast(pre[c]) / pre[c] for c in range(3)]
+    cur = [a * s for a, s in zip(absorb(lin), sens)]
+    return [cur[0] - cur[1], cur[0] + cur[1], cur[2]]
+
+
+def stage_freq(xyb, blur):
+    """[3 XYB planes] -> PsychoImage (10 planes)
+    (butteraugli.cc:489-622)."""
+    lf = [blur(xyb[c], 1) for c in range(3)]
+    res = [xyb[c] - lf[c] for c in range(3)]
+    mf_blur = [blur(res[c], 2) for c in range(3)]
+    hf_x = res[0] - mf_blur[0]
+    hf_y = res[1] - mf_blur[1]
+    mf_x = fr.remove_range_around_zero(0.120079806822, mf_blur[0])
+    mf_y = fr.amplify_range_around_zero(0.03430529365, mf_blur[1])
+    hf_x = fr.suppress_x_by_y(hf_x, hf_y, 2.96534974403)
+
+    hfb_x = blur(hf_x, 3)
+    hfb_y = blur(hf_y, 3)
+    uhf_x = hf_x - hfb_x
+    hf_x = fr.remove_range_around_zero(0.0287615200377, hfb_x)
+    uhf_y = hf_y - hfb_y
+    hf_y2 = fr.maximum_clamp(hfb_y, 78.8223237675)
+    uhf_y = fr.maximum_clamp(uhf_y, 5.8907152736)
+    uhf_y = fr._suppress_in_bright(uhf_y, lf[1], 1.76905001176,
+                                   2000 * 0.310148420674)
+    hf_y2 = fr._suppress_in_bright(hf_y2, lf[1], 1.10684769012,
+                                   2000 * 0.478741530298)
+    vx, vy, vb = fr.xyb_lowfreq_to_vals(lf[0], lf[1], lf[2])
+    return PsychoImage(lf=(vx, vy, vb), mf=(mf_x, mf_y, mf_blur[2]),
+                       hf=(hf_x, hf_y2), uhf=(uhf_x, uhf_y))
+    # pi0 plane indices in the HBM stack: lf 0-2, mf 3-5, hf 6-7, uhf 8-9
+
+
+def stage_terms(p0, pi1, blur, masked, diff_precompute):
+    """pi0 loader (index -> plane) + candidate PsychoImage -> the six
+    per-pixel accumulator planes the mask stage combines: (ac0, ac1,
+    diff_x, diff_y, dlf2_x, dlf2_b) (butteraugli.cc:624-908). `masked`
+    zeroes outside the valid region; `diff_precompute(a, b)` is the mask
+    activity-gradient clamp."""
+    from guetzli_tpu.metric.diffmap import (HF_ASYMMETRY,
+                                            l2_diff_asymmetric)
+    ha = HF_ASYMMETRY
+    sqrt_ha = float(ha) ** 0.5
+    MULLI = 0.354191303559
+    MULLI_LF = 0.405371989604
+
+    def msd(a, b_, w0, w1, norm, mulli):
+        return masked(malta_mod.malta_scaled_diffs(a, b_, w0, w1, norm,
+                                                   mulli=mulli))
+
+    # Malta terms one at a time (pi0 plane liveness = one term).
+    ac1 = _malta_ssq(msd(p0(9), pi1.uhf[1], 5.1409625726 * ha,
+                         5.1409625726 / ha, 58.5001247061, MULLI),
+                     lf=False)
+    ac0 = _malta_ssq(msd(p0(8), pi1.uhf[0], 4.91743441556 * ha,
+                         4.91743441556 / ha, 687196.39002, MULLI),
+                     lf=False)
+    p0hf1 = p0(7)    # reused: malta, SameNoise, L2-asym, activity
+    ac1 = ac1 + _malta_ssq(
+        msd(p0hf1, pi1.hf[1], 153.671655716 * sqrt_ha,
+            153.671655716 / sqrt_ha, 83150785.9592, MULLI_LF), lf=True)
+    p0hf0 = p0(6)    # reused: malta, activity
+    ac0 = ac0 + _malta_ssq(
+        msd(p0hf0, pi1.hf[0], 668.358918152 * sqrt_ha,
+            668.358918152 / sqrt_ha, 0.882954368025, MULLI_LF), lf=True)
+    ac1 = ac1 + _malta_ssq(
+        msd(p0(4), pi1.mf[1], 6841.81248144, 6841.81248144,
+            0.0135134962487, MULLI_LF), lf=True)
+    ac0 = ac0 + _malta_ssq(
+        msd(p0(3), pi1.mf[0], 813.901703816, 813.901703816,
+            16792.9322251, MULLI_LF), lf=True)
+
+    # SameNoiseLevels (butteraugli.cc:624-652,888)
+    snl_w, snl_maxclamp = 884.809801415, 85.7047444518
+    v0 = jnp.minimum(jnp.abs(p0hf1), snl_maxclamp)
+    v1 = jnp.minimum(jnp.abs(pi1.hf[1]), snl_maxclamp)
+    snl_diff = blur(v0 - v1, 4)
+    ac1 = ac1 + snl_w * snl_diff * snl_diff
+
+    # L2 terms (zero-weighted wmul channels skipped; exact zeros).
+    wmul1, wmul6, wmul8 = 32.4449876135, 1.01370836411, 1.74566011615
+    ac1 = ac1 + l2_diff_asymmetric(p0hf1, pi1.hf[1], wmul1 * ha,
+                                   wmul1 / ha)
+
+    # Mask activity differences (butteraugli.cc:1741-1756)
+    muls = (0.0, 1.64178305129, 0.831081703362, 3.23680933546)
+    act0_x = muls[1] * p0hf0                      # muls[0] * uhf0 == 0
+    act0_y = muls[2] * p0(9) + muls[3] * p0hf1
+    act1_x = muls[1] * pi1.hf[0]
+    act1_y = muls[2] * pi1.uhf[1] + muls[3] * pi1.hf[1]
+    diff_x = diff_precompute(act0_x, act1_x)
+    diff_y = diff_precompute(act0_y, act1_y)
+
+    # DC L2 terms (mask-independent factors; lf planes live one each).
+    w_ytob_lf = 21.6804277046
+    dlf = p0(0) - pi1.lf[0]
+    dlf2_x = wmul6 * dlf * dlf
+    dlf = p0(2) - pi1.lf[2]
+    dlf2_b = w_ytob_lf * (wmul8 * dlf * dlf)
+    return ac0, ac1, diff_x, diff_y, dlf2_x, dlf2_b
+
+
+def stage_mask_final(ac0, ac1, diff_x, diff_y, dlf2_x, dlf2_b, blur,
+                     masked):
+    """Six term planes -> final diffmap (butteraugli.cc:718-751,
+    1638-1817)."""
+    b_r2 = blur(diff_x, 5)
+    b_r0 = blur(diff_y, 6)
+    b_r1 = blur(diff_y, 7)
+
+    muls0 = 0.207017089891
+    muls1 = 0.267138152891
+    s1 = (muls0 * b_r0 + muls1 * b_r1) / (muls0 + muls1)
+    mul0 = 16.6963293877
+    mul1 = 2.1364621982
+    w00 = 36.4671237619
+    w11 = 2.1887170895
+    p1m = mul1 * w11 * s1
+    p0m = mul0 * w00 * b_r2 + 0.0513061271723 * p1m
+    m_x = mask_mod.mask_x(p0m)
+    m_y = mask_mod.mask_y(p1m)
+    md_x = mask_mod.mask_dc_x(p0m)
+    md_y = mask_mod.mask_dc_y(p1m)
+
+    combined = (md_x * dlf2_x + md_y * dlf2_b
+                + m_x * ac0 + m_y * ac1)
+    combined = masked(combined)
+
+    # CalculateDiffmap (butteraugli.cc:718-751)
+    k_initial_slope = 100.0
+    d = jnp.where(combined < 1.0 / (k_initial_slope * k_initial_slope),
+                  k_initial_slope * combined,
+                  jnp.sqrt(jnp.maximum(combined, 0.0)))
+    cmul1 = 0.458794906198
+    scale = 1.0 / (1.0 + cmul1)
+    return masked((d + cmul1 * blur(d, 8)) * scale)
+
+
 def _kernel(hw_ref, lin_hbm, pi0_hbm, invh_ref, invw_ref, out_ref,
             scratch, sems):
     H, W = out_ref.shape[-2:]
@@ -237,140 +397,14 @@ def _kernel(hw_ref, lin_hbm, pi0_hbm, invh_ref, invw_ref, out_ref,
     def masked(x):
         return x * vmask
 
-    # --- opsin dynamics (butteraugli.cc:324-366) ---
     lin = [load(lin_hbm.at[b, c]) for c in range(3)]
-    blurred = [blur_p(lin[c], 0) for c in range(3)]
-    m = opsin_mod.OPSIN_MIX
-
-    def absorb(rgb):
-        return [float(m[c, 0]) * rgb[0] + float(m[c, 1]) * rgb[1]
-                + float(m[c, 2]) * rgb[2] + float(m[c, 3])
-                for c in range(3)]
-
-    pre = absorb(blurred)
-    sens = [opsin_mod.gamma_fast(pre[c]) / pre[c] for c in range(3)]
-    cur = [a * s for a, s in zip(absorb(lin), sens)]
-    xyb = [cur[0] - cur[1], cur[0] + cur[1], cur[2]]
-
-    # --- SeparateFrequencies (butteraugli.cc:489-622) ---
-    lf = [blur_p(xyb[c], 1) for c in range(3)]
-    res = [xyb[c] - lf[c] for c in range(3)]
-    mf_blur = [blur_p(res[c], 2) for c in range(3)]
-    hf_x = res[0] - mf_blur[0]
-    hf_y = res[1] - mf_blur[1]
-    mf_x = fr.remove_range_around_zero(0.120079806822, mf_blur[0])
-    mf_y = fr.amplify_range_around_zero(0.03430529365, mf_blur[1])
-    hf_x = fr.suppress_x_by_y(hf_x, hf_y, 2.96534974403)
-
-    hfb_x = blur_p(hf_x, 3)
-    hfb_y = blur_p(hf_y, 3)
-    uhf_x = hf_x - hfb_x
-    hf_x = fr.remove_range_around_zero(0.0287615200377, hfb_x)
-    uhf_y = hf_y - hfb_y
-    hf_y2 = fr.maximum_clamp(hfb_y, 78.8223237675)
-    uhf_y = fr.maximum_clamp(uhf_y, 5.8907152736)
-    uhf_y = fr._suppress_in_bright(uhf_y, lf[1], 1.76905001176,
-                                   2000 * 0.310148420674)
-    hf_y2 = fr._suppress_in_bright(hf_y2, lf[1], 1.10684769012,
-                                   2000 * 0.478741530298)
-    vx, vy, vb = fr.xyb_lowfreq_to_vals(lf[0], lf[1], lf[2])
-    pi1 = PsychoImage(lf=(vx, vy, vb), mf=(mf_x, mf_y, mf_blur[2]),
-                      hf=(hf_x, hf_y2), uhf=(uhf_x, uhf_y))
-    # pi0 plane indices in the HBM stack: lf 0-2, mf 3-5, hf 6-7, uhf 8-9
-
-    # --- DiffmapPsychoImage (butteraugli.cc:624-908) ---
-    from guetzli_tpu.metric.diffmap import (HF_ASYMMETRY,
-                                            l2_diff_asymmetric)
-    ha = HF_ASYMMETRY
-    sqrt_ha = float(ha) ** 0.5
-    MULLI = 0.354191303559
-    MULLI_LF = 0.405371989604
-
-    def msd(a, b_, w0, w1, norm, mulli):
-        return masked(malta_mod.malta_scaled_diffs(a, b_, w0, w1, norm,
-                                                   mulli=mulli))
-
-    def p0(k):
-        return load(pi0_hbm.at[b, k])
-
-    # Malta terms one at a time (pi0 plane liveness = one term).
-    ac1 = _malta_ssq(msd(p0(9), pi1.uhf[1], 5.1409625726 * ha,
-                         5.1409625726 / ha, 58.5001247061, MULLI),
-                     lf=False)
-    ac0 = _malta_ssq(msd(p0(8), pi1.uhf[0], 4.91743441556 * ha,
-                         4.91743441556 / ha, 687196.39002, MULLI),
-                     lf=False)
-    p0hf1 = p0(7)    # reused: malta, SameNoise, L2-asym, activity
-    ac1 = ac1 + _malta_ssq(
-        msd(p0hf1, pi1.hf[1], 153.671655716 * sqrt_ha,
-            153.671655716 / sqrt_ha, 83150785.9592, MULLI_LF), lf=True)
-    p0hf0 = p0(6)    # reused: malta, activity
-    ac0 = ac0 + _malta_ssq(
-        msd(p0hf0, pi1.hf[0], 668.358918152 * sqrt_ha,
-            668.358918152 / sqrt_ha, 0.882954368025, MULLI_LF), lf=True)
-    ac1 = ac1 + _malta_ssq(
-        msd(p0(4), pi1.mf[1], 6841.81248144, 6841.81248144,
-            0.0135134962487, MULLI_LF), lf=True)
-    ac0 = ac0 + _malta_ssq(
-        msd(p0(3), pi1.mf[0], 813.901703816, 813.901703816,
-            16792.9322251, MULLI_LF), lf=True)
-
-    # SameNoiseLevels (butteraugli.cc:624-652,888)
-    snl_w, snl_maxclamp = 884.809801415, 85.7047444518
-    v0 = jnp.minimum(jnp.abs(p0hf1), snl_maxclamp)
-    v1 = jnp.minimum(jnp.abs(pi1.hf[1]), snl_maxclamp)
-    snl_diff = blur_p(v0 - v1, 4)
-    ac1 = ac1 + snl_w * snl_diff * snl_diff
-
-    # L2 terms (zero-weighted wmul channels skipped; exact zeros).
-    wmul1, wmul6, wmul8 = 32.4449876135, 1.01370836411, 1.74566011615
-    ac1 = ac1 + l2_diff_asymmetric(p0hf1, pi1.hf[1], wmul1 * ha,
-                                   wmul1 / ha)
-
-    # Mask (butteraugli.cc:753-782, 1638-1817)
-    muls = (0.0, 1.64178305129, 0.831081703362, 3.23680933546)
-    act0_x = muls[1] * p0hf0                      # muls[0] * uhf0 == 0
-    act0_y = muls[2] * p0(9) + muls[3] * p0hf1
-    act1_x = muls[1] * pi1.hf[0]
-    act1_y = muls[2] * pi1.uhf[1] + muls[3] * pi1.hf[1]
-    diff_x = _diff_precompute(act0_x, act1_x, vh, vw, row, col)
-    diff_y = _diff_precompute(act0_y, act1_y, vh, vw, row, col)
-    b_r2 = blur_p(diff_x, 5)
-    b_r0 = blur_p(diff_y, 6)
-    b_r1 = blur_p(diff_y, 7)
-
-    muls0 = 0.207017089891
-    muls1 = 0.267138152891
-    s1 = (muls0 * b_r0 + muls1 * b_r1) / (muls0 + muls1)
-    mul0 = 16.6963293877
-    mul1 = 2.1364621982
-    w00 = 36.4671237619
-    w11 = 2.1887170895
-    w_ytob_lf = 21.6804277046
-    p1m = mul1 * w11 * s1
-    p0m = mul0 * w00 * b_r2 + 0.0513061271723 * p1m
-    m_x = mask_mod.mask_x(p0m)
-    m_y = mask_mod.mask_y(p1m)
-    md_x = mask_mod.mask_dc_x(p0m)
-    md_y = mask_mod.mask_dc_y(p1m)
-
-    # DC L2 terms at their use sites (lf planes live one term each).
-    dlf = p0(0) - pi1.lf[0]
-    combined = md_x * (wmul6 * dlf * dlf)
-    dlf = p0(2) - pi1.lf[2]
-    combined = combined + w_ytob_lf * md_y * (wmul8 * dlf * dlf)
-    combined = combined + m_x * ac0 + m_y * ac1
-    combined = masked(combined)
-
-    # CalculateDiffmap (butteraugli.cc:718-751)
-    k_initial_slope = 100.0
-    d = jnp.where(combined < 1.0 / (k_initial_slope * k_initial_slope),
-                  k_initial_slope * combined,
-                  jnp.sqrt(jnp.maximum(combined, 0.0)))
-    cmul1 = 0.458794906198
-    scale = 1.0 / (1.0 + cmul1)
-    out = (d + cmul1 * blur_p(d, 8)) * scale
-    out_ref[0] = masked(out)
+    xyb = stage_opsin(lin, blur_p)
+    pi1 = stage_freq(xyb, blur_p)
+    terms = stage_terms(lambda k: load(pi0_hbm.at[b, k]), pi1, blur_p,
+                        masked,
+                        lambda a, b_: _diff_precompute(a, b_, vh, vw,
+                                                       row, col))
+    out_ref[0] = stage_mask_final(*terms, blur_p, masked)
 
 
 # ---------------------------------------------------------------------------

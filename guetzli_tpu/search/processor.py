@@ -461,6 +461,24 @@ class Processor:
                 histos.append(h)
             return histos, perblock
 
+        def total_histos(st):
+            """Per-comp TOTAL histograms of st — the chunk-boundary
+            entropy refresh needs no per-block materialization (native
+            path is one strided C pass per comp; ~4x cheaper than
+            make_incremental on a 1-core host)."""
+            if not use_native:
+                return make_incremental(st)[0]
+            histos = []
+            for ci in range(n_out_comps):
+                if ci in frozen_ac:
+                    histos.append(frozen_ac[ci].copy())
+                    continue
+                h = hstats.new_histogram()
+                h[:256] += native.total_ac_hist_nat(st, ci, quant[ci])
+                h[0] += 2 * pad_eob.get(ci, 0)
+                histos.append(h)
+            return histos
+
         def entropy_with_touched(histos_base, perblock, touched, new_rows):
             """Entropy size of (base state with rows `touched` replaced by
             new_rows)."""
@@ -531,7 +549,8 @@ class Processor:
                 orig=orig, cand_idx=cand_idx, cand_err=cand_err,
                 cand_count=cand_count, precious_limit=precious_limit,
                 jpg_header_size=jpg_header_size, dc_size=dc_size,
-                make_incremental=make_incremental, base_size=base_size,
+                make_incremental=make_incremental,
+                total_histos=total_histos, base_size=base_size,
                 pad_eob=pad_eob)
             return
 
@@ -667,7 +686,7 @@ class Processor:
                        factor, nbx, nby, mask_comps, quant, state, orig,
                        cand_idx, cand_err, cand_count, precious_limit,
                        jpg_header_size, dc_size, make_incremental,
-                       base_size, pad_eob):
+                       total_histos, base_size, pad_eob):
         """Chunked on-device up/down refinement (refine_device.py). Host
         work per chunk: exact entropy/Huffman refresh, serialization of
         the best/final candidates, verbose trace. Same acceptance
@@ -750,24 +769,6 @@ class Processor:
         else:
             frozen = (frozen_grid(0),)
         target = float(self.comparator.target_distance)
-
-        def total_histos(st):
-            """Per-comp TOTAL histograms of st — the chunk-boundary
-            refresh needs no per-block materialization (native path is
-            one strided C pass per comp; ~4x cheaper than
-            make_incremental on a 1-core host)."""
-            if not use_native:
-                return make_incremental(st)[0]
-            histos = []
-            for ci in range(n_out_comps):
-                if ci in frozen_ac:
-                    histos.append(frozen_ac[ci].copy())
-                    continue
-                h = hstats.new_histogram()
-                h[:256] += native.total_ac_hist_nat(st, ci, quant[ci])
-                h[0] += 2 * pad_eob.get(ci, 0)
-                histos.append(h)
-            return histos
 
         def entropy_consts(state3):
             """Exact clustering + Huffman depths of the current state →
