@@ -39,6 +39,25 @@ import os as _os
 _BUCKETS = not _os.environ.get("GUETZLI_TPU_NO_BUCKETS")
 
 
+def check_finite_distance(value, context: str):
+    """NaN/Inf guard on metric results as they land on host — the analog
+    of the reference's BUTTERAUGLI_ENABLE_CHECKS (butteraugli.h:31),
+    always on (the value is already host-resident, the check is free).
+    A NaN in the diffmap propagates through the max-reduction to the
+    distance scalar; without this it would silently make every
+    distance_ok() False and quietly inflate outputs.
+
+    Accepts a scalar or ndarray; returns the value for chaining."""
+    ok = np.isfinite(value) if np.isscalar(value) else \
+        bool(np.all(np.isfinite(value)))
+    if not ok:
+        raise FloatingPointError(
+            f"guetzli_tpu: non-finite butteraugli distance ({value!r}) "
+            f"from {context}; refusing to continue with a poisoned "
+            f"metric (NaN would silently disable distance_ok)")
+    return value
+
+
 def bucket_dim(s: int) -> int:
     """Smallest ladder dim >= s: multiples of 16, ratio ~1.25 from 64
     (64, 80, 112, 144, 192, 240, 304, 384, 480, 608, 768, 960, 1200,
@@ -496,7 +515,8 @@ class ButteraugliComparatorTPU(Comparator):
         lin1 = img.to_linear_rgb()
         dmap, dist = _full_diffmap(self._pi0, _opsin_from_linear(lin1))
         self._distmap = dmap
-        self.distance = float(dist)
+        self.distance = check_finite_distance(float(dist),
+                                              "compare (full diffmap)")
         if self.stats is not None and self.stats.debug:
             from guetzli_tpu.config import print_debug
             print_debug(self.stats, f" BA D[{self.distance:.4f}]\n")
@@ -542,7 +562,8 @@ class ButteraugliComparatorTPU(Comparator):
             def finalize():
                 self._distmap = dmap
                 host = np.asarray(packed)
-                self.distance = float(host[0])
+                self.distance = check_finite_distance(
+                    float(host[0]), "compare_coeffs (bucketed fused)")
                 if self.stats is not None and self.stats.debug:
                     from guetzli_tpu.config import print_debug
                     print_debug(self.stats,
@@ -595,7 +616,8 @@ class ButteraugliComparatorTPU(Comparator):
             self._qs_base, jnp.asarray(q_batch, jnp.int32), self._pi0,
             jnp.int32(self.height), jnp.int32(self.width),
             self.wb, self.hb, self._qs_factors, fused=self.fused)
-        return np.asarray(dists)
+        return check_finite_distance(np.asarray(dists),
+                                     "compare_requant_batch")
 
     def _compare_coeffs_sync(self, coeff_list, factors, wfactor: int,
                              target_mul: float) -> np.ndarray:
@@ -624,7 +646,8 @@ class ButteraugliComparatorTPU(Comparator):
             self.width, self.height, tuple(factors), wfactor)
         self._distmap = dmap
         host = np.asarray(packed)
-        self.distance = float(host[0])
+        self.distance = check_finite_distance(
+            float(host[0]), "compare_coeffs (legacy fused)")
         if self.stats is not None and self.stats.debug:
             from guetzli_tpu.config import print_debug
             print_debug(self.stats, f" BA D[{self.distance:.4f}]\n")
@@ -701,7 +724,8 @@ class ButteraugliComparatorTPU(Comparator):
         self._state_flat = st
         self._distmap = dmap
         host = np.asarray(packed)
-        self.distance = float(host[0])
+        self.distance = check_finite_distance(
+            float(host[0]), "compare_delta")
         if self.stats is not None and self.stats.debug:
             from guetzli_tpu.config import print_debug
             print_debug(self.stats, f" BA D[{self.distance:.4f}]\n")

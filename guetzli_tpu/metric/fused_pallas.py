@@ -66,16 +66,35 @@ SIGMAS = (
     (1.72547472444, 1.0),                          # CalculateDiffmap
 )
 
-# Measured on v5e hardware (2026-08-18, chipless AOT compiler): the
-# single-program metric kernel VMEM-OOMs ("allocating on stack") for
-# canvases >= 160x256 — Mosaic keeps ~100 (H, W) planes live because the
-# cascade's dependencies defeat the 2-slot streaming plan — while
-# 128x256 compiles and runs. Default to the proven ceiling; larger
-# buckets use the XLA metric path until the kernel is split into
-# VMEM-bounded stages (ROADMAP).
+# Single-program (mega) kernel ceiling. Mosaic keeps ~100 (H, W) planes
+# live across the cascade; under the raised 100 MB scoped-VMEM limit
+# (see _VMEM_LIMIT) the 304x480 bees bucket (146k px, ~58 MB) compiles
+# and runs on v5e (measured 2026-08-19; under the default 16 MB limit it
+# OOM'd at >= 160x256). Canvases above this ceiling dispatch to the
+# stripe-tiled staged kernels (metric/fused_staged.py: same stage
+# bodies, four pallas_calls with HBM handoffs, VMEM bounded by stripe
+# slabs) up to _STAGED_MAX_PIXELS; beyond that, the XLA metric path.
+# probe_fused degrades mega -> staged -> XLA per bucket on failure.
 _FUSED_MAX_PIXELS = int(os.environ.get("GUETZLI_TPU_FUSED_MAX_PIXELS",
-                                       32768))
+                                       150_000))
+# Staged-path ceiling: VMEM is stripe-bounded, HBM holds ~30 planes
+# (30 * 4 B/px = 120 B/px -> 2 GB at 16.7 MPix, fine for 16 GB v5e).
+_STAGED_MAX_PIXELS = int(os.environ.get(
+    "GUETZLI_TPU_STAGED_MAX_PIXELS", 1 << 24))
 _ENV = os.environ.get("GUETZLI_TPU_FUSED_METRIC")
+
+# Mosaic's default scoped-VMEM limit is 16 MB, but v5e physically has
+# 128 MiB of VMEM — a 54 MB-live probe kernel compiles AND runs with a
+# raised limit (measured 2026-08-19 on the axon v5e). The metric
+# kernels' liveness (Mosaic keeps ~100 slab planes across the cascade)
+# is what capped the mega kernel at 146k px under the default limit.
+_VMEM_LIMIT = int(os.environ.get("GUETZLI_TPU_KERNEL_VMEM_LIMIT",
+                                 100 * 1024 * 1024))
+
+
+def compiler_params():
+    """Shared Mosaic params for the metric kernels."""
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 # Buckets whose probe_fused() compile/run failed: the XLA metric path is
 # always available, so a VMEM overflow (or any backend Pallas defect)
@@ -86,6 +105,17 @@ _ENV = os.environ.get("GUETZLI_TPU_FUSED_METRIC")
 # permanently) — batch-mode determinism relies on that consistency.
 _BROKEN_BUCKETS: set = set()
 
+# Per-bucket mega/staged override: probe_fused flips a bucket whose
+# mega-kernel compile failed to "staged" before giving up on the fused
+# path entirely. Consulted at trace time; sticky once set (same
+# determinism contract as _BROKEN_BUCKETS).
+_BUCKET_PATH: dict = {}
+
+
+def _bucket_path(H: int, W: int) -> str:
+    return _BUCKET_PATH.get(
+        (H, W), "mega" if H * W <= _FUSED_MAX_PIXELS else "staged")
+
 
 def fused_metric_eligible(canvas_h: int, canvas_w: int) -> bool:
     """Static (trace-time) gate: env override, else TPU + VMEM bound.
@@ -93,7 +123,7 @@ def fused_metric_eligible(canvas_h: int, canvas_w: int) -> bool:
     sp-sharded (a Pallas call cannot be GSPMD-partitioned)."""
     if _ENV == "0" or (canvas_h, canvas_w) in _BROKEN_BUCKETS:
         return False
-    if canvas_h * canvas_w > _FUSED_MAX_PIXELS:
+    if canvas_h * canvas_w > _STAGED_MAX_PIXELS:
         return False
     if _ENV == "1":
         return True
@@ -124,19 +154,30 @@ def probe_fused(lin: jax.Array, pi0, h: int, w: int) -> bool:
             return False
         if key in _PROBED_OK:
             return True
-        try:
-            jax.block_until_ready(
-                fused_diffmap(lin, pi0, jnp.int32(h), jnp.int32(w)))
-            _PROBED_OK.add(key)
-            return True
-        except Exception as e:                  # noqa: BLE001
-            _BROKEN_BUCKETS.add(key)
-            import sys
-            detail = " ".join(str(e).split())[:1200]
-            print(f"guetzli_tpu: fused metric kernel unavailable at "
-                  f"bucket {key} ({type(e).__name__}); using the XLA "
-                  f"metric path\n  detail: {detail}", file=sys.stderr)
-            return False
+        while True:
+            try:
+                jax.block_until_ready(
+                    fused_diffmap(lin, pi0, jnp.int32(h), jnp.int32(w)))
+                _PROBED_OK.add(key)
+                return True
+            except Exception as e:              # noqa: BLE001
+                import sys
+                detail = " ".join(str(e).split())[:1200]
+                if _bucket_path(*key) == "mega":
+                    # Mega kernel failed (VMEM/Mosaic): degrade this
+                    # bucket to the stripe-tiled staged kernels and
+                    # re-probe before giving up on the fused path.
+                    _BUCKET_PATH[key] = "staged"
+                    print(f"guetzli_tpu: mega metric kernel failed at "
+                          f"bucket {key} ({type(e).__name__}); probing "
+                          f"the staged kernels\n  detail: {detail}",
+                          file=sys.stderr)
+                    continue
+                _BROKEN_BUCKETS.add(key)
+                print(f"guetzli_tpu: fused metric kernel unavailable at "
+                      f"bucket {key} ({type(e).__name__}); using the XLA "
+                      f"metric path\n  detail: {detail}", file=sys.stderr)
+                return False
 
 
 # ---------------------------------------------------------------------------
@@ -435,6 +476,13 @@ def fused_diffmap_batch(lin: jax.Array, pi0_stack: jax.Array,
     """(B, 3, H, W) linear RGB + (B, 10, H, W) original PsychoImage ->
     (B, H, W) diffmaps; (h, w) are (B,) true dims."""
     B, _, H, W = lin.shape
+    if _bucket_path(H, W) == "staged":
+        # Above the single-program VMEM ceiling (or probe-degraded):
+        # stripe-tiled staged kernels (same stage bodies, HBM handoffs
+        # between stages).
+        from guetzli_tpu.metric import fused_staged
+        return fused_staged.staged_diffmap_batch(lin, pi0_stack, h, w,
+                                                 interpret=interpret)
     # Non-TPU backends (CPU tests with GUETZLI_TPU_FUSED_METRIC=1) run
     # the kernel through the Pallas interpreter.
     interpret = interpret or jax.default_backend() != "tpu"
@@ -474,6 +522,7 @@ def fused_diffmap_batch(lin: jax.Array, pi0_stack: jax.Array,
             pltpu.VMEM((2, H, W), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=compiler_params(),
         interpret=interpret,
     )(hw, lin, pi0_stack, invh, invw)
 

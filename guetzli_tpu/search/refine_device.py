@@ -830,12 +830,15 @@ def _refine_chunk_impl(carry: RefineCarry, consts: RefineConsts,
 def unpack_chunk_result(pulled: np.ndarray, k_iters: int):
     """Host-side split of refine_chunk's packed result: (logs (K, 8),
     summary dict, n (N,) int32)."""
+    from guetzli_tpu.metric.comparator import check_finite_distance
     buf = np.asarray(pulled)
     logs = buf[:k_iters * 8].reshape(k_iters, 8)
     s = buf[k_iters * 8:k_iters * 8 + 8]
     summary = {"phase_done": bool(s[0]), "stopped_early": bool(s[1]),
                "best_flag": bool(s[2]), "best_score": float(s[3]),
-               "best_dist": float(s[4]), "dist": float(s[5]),
+               "best_dist": float(s[4]),
+               "dist": check_finite_distance(float(s[5]),
+                                             "refine chunk distance"),
                "iters_up": int(s[6]), "iters_down": int(s[7])}
     n = buf[k_iters * 8 + 8:].astype(np.int32)
     return logs, summary, n
