@@ -599,6 +599,23 @@ class ButteraugliComparatorTPU(Comparator):
                              for p in base)
         self._qs_base = base
 
+    def _fused_path_failed(self, e: Exception, context: str) -> None:
+        """Last-resort degrade: a fused-metric failure that escaped the
+        probe (untried batch shape / Mosaic regression) must never kill
+        the encode — the reference always produces output
+        (processor.cc:828-846). Marks the bucket broken (process-wide,
+        so every comparator of it makes the same choice from now on)
+        and flips this comparator to the XLA metric path."""
+        import sys
+        from guetzli_tpu.metric import fused_pallas
+        fused_pallas.mark_bucket_broken(self.hb, self.wb)
+        self.fused = False
+        detail = " ".join(str(e).split())[:1200]
+        print(f"guetzli_tpu: fused metric path failed in {context} at "
+              f"bucket {(self.hb, self.wb)} ({type(e).__name__}); "
+              f"degrading to the XLA metric path\n  detail: {detail}",
+              file=sys.stderr)
+
     def compare_requant_batch(self, q_batch: np.ndarray) -> np.ndarray:
         """(B, 3, 64) int32 candidate quant matrices -> (B,) distances of
         the requantized base state (one fused device call; in batch mode
@@ -612,10 +629,19 @@ class ButteraugliComparatorTPU(Comparator):
                 "h": self.height, "w": self.width,
                 "wb": self.wb, "hb": self.hb,
                 "factors": self._qs_factors, "fused": self.fused})
-        dists = _requant_compare_batch_dyn(
-            self._qs_base, jnp.asarray(q_batch, jnp.int32), self._pi0,
-            jnp.int32(self.height), jnp.int32(self.width),
-            self.wb, self.hb, self._qs_factors, fused=self.fused)
+        try:
+            dists = _requant_compare_batch_dyn(
+                self._qs_base, jnp.asarray(q_batch, jnp.int32), self._pi0,
+                jnp.int32(self.height), jnp.int32(self.width),
+                self.wb, self.hb, self._qs_factors, fused=self.fused)
+        except Exception as e:              # noqa: BLE001
+            if not self.fused:
+                raise
+            self._fused_path_failed(e, "compare_requant_batch")
+            dists = _requant_compare_batch_dyn(
+                self._qs_base, jnp.asarray(q_batch, jnp.int32), self._pi0,
+                jnp.int32(self.height), jnp.int32(self.width),
+                self.wb, self.hb, self._qs_factors, fused=False)
         return check_finite_distance(np.asarray(dists),
                                      "compare_requant_batch")
 

@@ -66,17 +66,20 @@ SIGMAS = (
     (1.72547472444, 1.0),                          # CalculateDiffmap
 )
 
-# Single-program (mega) kernel ceiling. Mosaic keeps ~100 (H, W) planes
-# live across the cascade; under the raised 100 MB scoped-VMEM limit
-# (see _VMEM_LIMIT) the 304x480 bees bucket (146k px, ~58 MB) compiles
-# and runs on v5e (measured 2026-08-19; under the default 16 MB limit it
-# OOM'd at >= 160x256). Canvases above this ceiling dispatch to the
-# stripe-tiled staged kernels (metric/fused_staged.py: same stage
-# bodies, four pallas_calls with HBM handoffs, VMEM bounded by stripe
-# slabs) up to _STAGED_MAX_PIXELS; beyond that, the XLA metric path.
-# probe_fused degrades mega -> staged -> XLA per bucket on failure.
+# Single-program (mega) kernel ceiling, in PADDED-canvas pixels (the
+# dims the kernel compiles at: H to sublane 8-multiples, W to lane
+# 128-multiples — the bees bucket 304x480 pads to 304x512 = 155,648).
+# Mosaic keeps ~100 (H, W) planes live across the cascade; under the
+# raised 100 MB scoped-VMEM limit (see _VMEM_LIMIT) the padded bees
+# bucket compiles and runs on v5e (measured 2026-08-19; under the
+# default 16 MB limit it OOM'd at >= 160x256). Canvases above this
+# ceiling dispatch to the stripe-tiled staged kernels
+# (metric/fused_staged.py: same stage bodies, four pallas_calls with
+# HBM handoffs, VMEM bounded by stripe slabs) up to _STAGED_MAX_PIXELS;
+# beyond that, the XLA metric path. probe_fused degrades
+# mega -> staged -> XLA per bucket on failure.
 _FUSED_MAX_PIXELS = int(os.environ.get("GUETZLI_TPU_FUSED_MAX_PIXELS",
-                                       150_000))
+                                       160_000))
 # Staged-path ceiling: VMEM is stripe-bounded, HBM holds ~30 planes
 # (30 * 4 B/px = 120 B/px -> 2 GB at 16.7 MPix, fine for 16 GB v5e).
 _STAGED_MAX_PIXELS = int(os.environ.get(
@@ -112,18 +115,34 @@ _BROKEN_BUCKETS: set = set()
 _BUCKET_PATH: dict = {}
 
 
+def bucket_key(h: int, w: int) -> tuple:
+    """Canonical per-bucket key: the PADDED canvas dims the kernels
+    compile at (H to sublane 8-multiples, W to lane 128-multiples).
+    Every probe result, broken-bucket mark, and mega/staged dispatch
+    decision is keyed on this, so a degrade recorded by one caller is
+    seen by all."""
+    return (-(-h // 8) * 8, -(-w // 128) * 128)
+
+
+def mark_bucket_broken(h: int, w: int) -> None:
+    _BROKEN_BUCKETS.add(bucket_key(h, w))
+
+
 def _bucket_path(H: int, W: int) -> str:
+    key = bucket_key(H, W)
     return _BUCKET_PATH.get(
-        (H, W), "mega" if H * W <= _FUSED_MAX_PIXELS else "staged")
+        key, "mega" if key[0] * key[1] <= _FUSED_MAX_PIXELS
+        else "staged")
 
 
 def fused_metric_eligible(canvas_h: int, canvas_w: int) -> bool:
     """Static (trace-time) gate: env override, else TPU + VMEM bound.
     Callers must additionally pass fused=False when the image is
     sp-sharded (a Pallas call cannot be GSPMD-partitioned)."""
-    if _ENV == "0" or (canvas_h, canvas_w) in _BROKEN_BUCKETS:
+    key = bucket_key(canvas_h, canvas_w)
+    if _ENV == "0" or key in _BROKEN_BUCKETS:
         return False
-    if canvas_h * canvas_w > _STAGED_MAX_PIXELS:
+    if key[0] * key[1] > _STAGED_MAX_PIXELS:
         return False
     if _ENV == "1":
         return True
@@ -135,18 +154,42 @@ _PROBE_LOCKS: dict = {}
 _PROBE_LOCKS_GUARD = threading.Lock()
 
 
+def quant_search_nslots(canvas_h: int, canvas_w: int) -> int:
+    """Speculative quant-search batch width for a canvas (shared with
+    processor.select_quant_matrix so the probe covers the exact batch
+    shape the search will emit — round 3 shipped a kernel whose B>1
+    lowering crashed precisely because nothing probed this shape)."""
+    return 8 if canvas_h * canvas_w / 1e6 <= 2.3 else 4
+
+
+def _probe_batch_shapes(key) -> tuple:
+    """Batch sizes the encoder can emit fused_diffmap_batch at, for this
+    canvas bucket: B=1 (refine / single compares) plus the speculative
+    quant search's slot count. The B=1 case is compiled AND run; the
+    rest are LOWER-checked only — Mosaic's block-mapping validation
+    (the round-3 B>1 failure class) runs during lowering, in seconds,
+    while a full compile is minutes per shape; VMEM-fit failures are
+    per-grid-lane and therefore already covered by the B=1 run.
+    tools/lowering_smoke.py full-compiles every signature for the
+    pre-commit check."""
+    return (quant_search_nslots(*key),)
+
+
 def probe_fused(lin: jax.Array, pi0, h: int, w: int) -> bool:
     """Hardware self-test of the fused kernel for this canvas bucket:
-    compile + run it once (result discarded; the encode's enclosing
-    jitted programs compile their own copies — the probe validates that
-    the kernel itself compiles/fits VMEM on this backend). Returns
+    compile + run it once at B=1 (result discarded; the encode's
+    enclosing jitted programs compile their own copies — the probe
+    validates that the kernel itself compiles/fits VMEM on this
+    backend), then compile-check every batched shape the encode can
+    emit (see _probe_batch_shapes; round 3's regression was a B>1-only
+    lowering failure that a B=1-only probe was blind to). Returns
     False — and marks the BUCKET broken — on failure; callers fall back
     to the XLA metric path, which computes the same diffmap. One probe
     per (H, W) bucket per process; the first probe's outcome is
     permanent, so every comparator of a bucket makes the same choice.
     Locked per bucket so concurrent batch workers probing different
     buckets don't serialize."""
-    key = tuple(lin.shape[-2:])
+    key = bucket_key(*lin.shape[-2:])
     with _PROBE_LOCKS_GUARD:
         lock = _PROBE_LOCKS.setdefault(key, threading.Lock())
     with lock:
@@ -158,6 +201,14 @@ def probe_fused(lin: jax.Array, pi0, h: int, w: int) -> bool:
             try:
                 jax.block_until_ready(
                     fused_diffmap(lin, pi0, jnp.int32(h), jnp.int32(w)))
+                for B in _probe_batch_shapes(key):
+                    linb = jnp.broadcast_to(lin[None], (B,) + lin.shape)
+                    pi0b = jnp.broadcast_to(
+                        stack_pi0(pi0)[None], (B, 10) + lin.shape[-2:])
+                    hb = jnp.full((B,), h, jnp.int32)
+                    wb = jnp.full((B,), w, jnp.int32)
+                    jax.jit(fused_diffmap_batch).lower(linb, pi0b,
+                                                       hb, wb)
                 _PROBED_OK.add(key)
                 return True
             except Exception as e:              # noqa: BLE001
@@ -412,8 +463,12 @@ def _kernel(hw_ref, lin_hbm, pi0_hbm, invh_ref, invw_ref, out_ref,
             scratch, sems):
     H, W = out_ref.shape[-2:]
     b = pl.program_id(0)
-    vh = hw_ref[0, 0]
-    vw = hw_ref[0, 1]
+    # hw_ref is the WHOLE (B, 2) array in SMEM (unblocked): a (1, 2)
+    # block over it fails Mosaic's block-mapping check for any B > 1
+    # (second-to-last block dim must divide 8 or equal the array dim),
+    # which is exactly the batched-compare lowering crash of round 3.
+    vh = hw_ref[b, 0]
+    vw = hw_ref[b, 1]
     row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     vmask = ((row < vh) & (col < vw)).astype(jnp.float32)
@@ -470,44 +525,18 @@ def stack_pi0(pi0: PsychoImage) -> jax.Array:
                             jnp.asarray(pi0.hf), jnp.asarray(pi0.uhf)])
 
 
-def fused_diffmap_batch(lin: jax.Array, pi0_stack: jax.Array,
-                        h: jax.Array, w: jax.Array,
-                        interpret: bool = False) -> jax.Array:
-    """(B, 3, H, W) linear RGB + (B, 10, H, W) original PsychoImage ->
-    (B, H, W) diffmaps; (h, w) are (B,) true dims."""
+def _mega_pallas_call(lin: jax.Array, pi0_stack: jax.Array,
+                      h: jax.Array, w: jax.Array,
+                      interpret: bool) -> jax.Array:
+    """The raw mega-kernel launch at tile-aligned (H, W)."""
     B, _, H, W = lin.shape
-    if _bucket_path(H, W) == "staged":
-        # Above the single-program VMEM ceiling (or probe-degraded):
-        # stripe-tiled staged kernels (same stage bodies, HBM handoffs
-        # between stages).
-        from guetzli_tpu.metric import fused_staged
-        return fused_staged.staged_diffmap_batch(lin, pi0_stack, h, w,
-                                                 interpret=interpret)
-    # Non-TPU backends (CPU tests with GUETZLI_TPU_FUSED_METRIC=1) run
-    # the kernel through the Pallas interpreter.
-    interpret = interpret or jax.default_backend() != "tpu"
-    # Mosaic restriction: in-kernel channel slices of a VMEM ref whose
-    # lane (last) dim is not a multiple of the 128 tiling fail to compile
-    # ("Slice shape along dimension 3 must be aligned to tiling (128)").
-    # Pad the canvas to tile multiples here and crop the result; the
-    # padded region is more canvas zeros (true dims h/w drive masked()
-    # and the blur renormalization weights), so values inside the
-    # original canvas are untouched.
-    Hp, Wp = -(-H // 8) * 8, -(-W // 128) * 128
-    if (Hp, Wp) != (H, W):
-        pad = [(0, 0), (0, 0), (0, Hp - H), (0, Wp - W)]
-        dm = fused_diffmap_batch(jnp.pad(lin, pad),
-                                 jnp.pad(pi0_stack, pad), h, w,
-                                 interpret=interpret)
-        return dm[:, :H, :W]
     invh, invw = jax.vmap(lambda hh, ww: _inv_weights(hh, ww, H, W))(h, w)
     hw = jnp.stack([h, w], axis=1).astype(jnp.int32)
     return pl.pallas_call(
         _kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda b: (b, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # hw: whole (B, 2)
             pl.BlockSpec(memory_space=pl.ANY),        # lin (HBM)
             pl.BlockSpec(memory_space=pl.ANY),        # pi0 (HBM)
             pl.BlockSpec((1, 9, H, 1), lambda b: (b, 0, 0, 0),
@@ -525,6 +554,79 @@ def fused_diffmap_batch(lin: jax.Array, pi0_stack: jax.Array,
         compiler_params=compiler_params(),
         interpret=interpret,
     )(hw, lin, pi0_stack, invh, invw)
+
+
+@jax.custom_batching.custom_vmap
+def _fused_diffmap_batch_tpu(lin: jax.Array, pi0_stack: jax.Array,
+                             h: jax.Array, w: jax.Array) -> jax.Array:
+    """Hardware (non-interpret) fused diffmap at tile-aligned (H, W),
+    with a custom vmap rule: the kernels are elementwise over their
+    leading batch axis (grid lanes), so vmapping = flattening the new
+    axis into that grid. Without this rule, jax.vmap batches the
+    pallas_call itself by prepending a grid dim with non-trivial HBM
+    index maps, which Mosaic refuses to lower ("memory space ANY only
+    blocks having the same block shape as the array") — every vmapped
+    caller (batch-mode quant search/refine groups) would lose the fused
+    path. Flattening is also faster: a (G, B)-nested call becomes ONE
+    G*B-lane launch."""
+    H, W = lin.shape[-2:]
+    if _bucket_path(H, W) == "staged":
+        from guetzli_tpu.metric import fused_staged
+        return fused_staged.staged_pallas_calls(lin, pi0_stack, h, w,
+                                                interpret=False)
+    return _mega_pallas_call(lin, pi0_stack, h, w, interpret=False)
+
+
+@_fused_diffmap_batch_tpu.def_vmap
+def _fused_diffmap_vmap_rule(axis_size, in_batched, lin, pi0_stack, h, w):
+    def bcast(x, batched):
+        if batched:
+            return x
+        return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+    lin, pi0_stack, h, w = (
+        bcast(x, b) for x, b in zip((lin, pi0_stack, h, w), in_batched))
+    B = lin.shape[1]
+    out = _fused_diffmap_batch_tpu(
+        lin.reshape((-1,) + lin.shape[2:]),
+        pi0_stack.reshape((-1,) + pi0_stack.shape[2:]),
+        h.reshape(-1), w.reshape(-1))
+    # out: (axis_size * B, H, W) -> (axis_size, B, H, W)
+    return out.reshape((axis_size, B) + out.shape[1:]), True
+
+
+def fused_diffmap_batch(lin: jax.Array, pi0_stack: jax.Array,
+                        h: jax.Array, w: jax.Array,
+                        interpret: bool = False) -> jax.Array:
+    """(B, 3, H, W) linear RGB + (B, 10, H, W) original PsychoImage ->
+    (B, H, W) diffmaps; (h, w) are (B,) true dims."""
+    B, _, H, W = lin.shape
+    # Non-TPU backends (CPU tests with GUETZLI_TPU_FUSED_METRIC=1) run
+    # the kernels through the Pallas interpreter.
+    interpret = interpret or jax.default_backend() != "tpu"
+    # Mosaic restriction: in-kernel channel slices of a VMEM ref whose
+    # lane (last) dim is not a multiple of the 128 tiling fail to compile
+    # ("Slice shape along dimension 3 must be aligned to tiling (128)").
+    # Pad the canvas to tile multiples here and crop the result; the
+    # padded region is more canvas zeros (true dims h/w drive masked()
+    # and the blur renormalization weights), so values inside the
+    # original canvas are untouched. The mega/staged dispatch decision
+    # is made on the PADDED dims — they are what the kernel compiles at
+    # (and what its VMEM liveness scales with).
+    Hp, Wp = -(-H // 8) * 8, -(-W // 128) * 128
+    if (Hp, Wp) != (H, W):
+        pad = [(0, 0), (0, 0), (0, Hp - H), (0, Wp - W)]
+        dm = fused_diffmap_batch(jnp.pad(lin, pad),
+                                 jnp.pad(pi0_stack, pad), h, w,
+                                 interpret=interpret)
+        return dm[:, :H, :W]
+    if interpret:
+        if _bucket_path(H, W) == "staged":
+            from guetzli_tpu.metric import fused_staged
+            return fused_staged.staged_pallas_calls(lin, pi0_stack, h, w,
+                                                    interpret=True)
+        return _mega_pallas_call(lin, pi0_stack, h, w, interpret=True)
+    return _fused_diffmap_batch_tpu(lin, pi0_stack, h, w)
 
 
 def fused_diffmap(lin: jax.Array, pi0: PsychoImage, h, w,

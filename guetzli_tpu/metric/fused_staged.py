@@ -123,8 +123,10 @@ def _make_stage(stage: str, n_in_arrays, n_out_planes, body):
         slab = S + 2 * halo
         b = pl.program_id(0)
         s = pl.program_id(1)
-        vh = hw_ref[0, 0]
-        vw = hw_ref[0, 1]
+        # Whole (B, 2) array in SMEM, indexed by program id: a (1, 2)
+        # block fails Mosaic's block-mapping check for B > 1.
+        vh = hw_ref[b, 0]
+        vw = hw_ref[b, 1]
         row = (jax.lax.broadcasted_iota(jnp.int32, (slab, W), 0)
                + s * S - halo)
         col = jax.lax.broadcasted_iota(jnp.int32, (slab, W), 1)
@@ -185,8 +187,7 @@ def _make_stage(stage: str, n_in_arrays, n_out_planes, body):
             kernel,
             grid=(B, ns),
             in_specs=(
-                [pl.BlockSpec((1, 2), lambda b, s: (b, 0),
-                              memory_space=pltpu.SMEM)]
+                [pl.BlockSpec(memory_space=pltpu.SMEM)]  # hw: whole (B, 2)
                 # Big inputs stay in HBM (DMA'd per plane into the
                 # 2-slot scratch); pl.ANY would let the compiler place
                 # a megapixel padded input wholly in VMEM.
@@ -258,6 +259,25 @@ _RUN_TERMS = _make_stage("terms", 2, 6, _terms_body)
 _RUN_MASK = _make_stage("mask", 1, 1, _mask_body)
 
 
+def staged_pallas_calls(lin: jax.Array, pi0_stack: jax.Array,
+                        h: jax.Array, w: jax.Array,
+                        interpret: bool) -> jax.Array:
+    """The four staged launches at 128-aligned W (the aligned core that
+    fused_pallas dispatches to; its custom vmap rule flattens batch
+    axes into the stage grids)."""
+    B, _, H, W = lin.shape
+    invh, invw = jax.vmap(
+        lambda hh, ww: fp._inv_weights(hh, ww, H, W))(h, w)
+    invw = invw[:, :, 0, :]                       # (B, 9, W)
+    hw = jnp.stack([h, w], axis=1).astype(jnp.int32)
+
+    xyb = _RUN_OPSIN([lin], invh, invw, hw, H, W, interpret)
+    pi1 = _RUN_FREQ([xyb], invh, invw, hw, H, W, interpret)
+    terms = _RUN_TERMS([pi0_stack, pi1], invh, invw, hw, H, W,
+                       interpret)
+    return _RUN_MASK([terms], invh, invw, hw, H, W, interpret)
+
+
 def staged_diffmap_batch(lin: jax.Array, pi0_stack: jax.Array,
                          h: jax.Array, w: jax.Array,
                          interpret: bool = False) -> jax.Array:
@@ -273,13 +293,4 @@ def staged_diffmap_batch(lin: jax.Array, pi0_stack: jax.Array,
                                   jnp.pad(pi0_stack, pad), h, w,
                                   interpret=interpret)
         return dm[:, :, :W]
-    invh, invw = jax.vmap(
-        lambda hh, ww: fp._inv_weights(hh, ww, H, W))(h, w)
-    invw = invw[:, :, 0, :]                       # (B, 9, W)
-    hw = jnp.stack([h, w], axis=1).astype(jnp.int32)
-
-    xyb = _RUN_OPSIN([lin], invh, invw, hw, H, W, interpret)
-    pi1 = _RUN_FREQ([xyb], invh, invw, hw, H, W, interpret)
-    terms = _RUN_TERMS([pi0_stack, pi1], invh, invw, hw, H, W,
-                       interpret)
-    return _RUN_MASK([terms], invh, invw, hw, H, W, interpret)
+    return staged_pallas_calls(lin, pi0_stack, h, w, interpret)

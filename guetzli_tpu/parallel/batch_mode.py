@@ -258,8 +258,24 @@ def _refine_handler(payloads: List[dict], cache: dict) -> List[tuple]:
             constss = constss._replace(pi0=pi0s)
             carrys = jax.tree.map(lambda *xs: jnp.stack(xs),
                                   *[p["carry"] for p in ps_p])
-            carry_b, pulled_b = rd.refine_chunk_batch(carrys, constss,
-                                                      cfg)
+            try:
+                carry_b, pulled_b = rd.refine_chunk_batch(carrys, constss,
+                                                          cfg)
+            except Exception as e:          # noqa: BLE001
+                # Trace/compile failure of the vmapped chunk program
+                # (deterministic): run the group's chunks unbatched —
+                # same executable single-image mode uses, so outputs
+                # stay correct, just slower for this group.
+                import sys
+                print(f"guetzli_tpu: batched refine chunk failed for "
+                      f"cfg {cfg} ({type(e).__name__}); running the "
+                      f"group unbatched", file=sys.stderr)
+                for i in sub:
+                    p = payloads[i]
+                    carry, pulled = rd.refine_chunk(p["carry"],
+                                                    p["consts"], cfg)
+                    results[i] = (carry, np.asarray(pulled))
+                continue
             pulled_np = np.asarray(pulled_b)           # one pull
             for j, i in enumerate(sub):
                 carry_i = jax.tree.map(lambda x: x[j], carry_b)
@@ -318,9 +334,29 @@ def _requant_handler(payloads: List[dict], cache: dict) -> List[np.ndarray]:
             qs = jnp.asarray(np.stack([p["q"] for p in ps_p]))
             hs = jnp.asarray([p["h"] for p in ps_p], jnp.int32)
             ws = jnp.asarray([p["w"] for p in ps_p], jnp.int32)
-            dists = np.asarray(_requant_compare_images(
-                bases, qs, pi0s, hs, ws, wb, hb, factors,
-                fused=ps[0].get("fused", False)))
+            fused = ps[0].get("fused", False)
+            try:
+                dists = np.asarray(_requant_compare_images(
+                    bases, qs, pi0s, hs, ws, wb, hb, factors,
+                    fused=fused))
+            except Exception as e:          # noqa: BLE001
+                # Trace/compile failure of the fused metric at this
+                # batched shape (deterministic, so falling back keeps
+                # batch outputs reproducible): degrade the bucket and
+                # re-run the group on the XLA metric path — an encode
+                # must never die on a metric-path defect.
+                if not fused:
+                    raise
+                import sys
+                from guetzli_tpu.metric import fused_pallas
+                fused_pallas.mark_bucket_broken(hb, wb)
+                print(f"guetzli_tpu: batched fused requant failed at "
+                      f"bucket {(hb, wb)} ({type(e).__name__}); "
+                      f"degrading the group to the XLA metric path",
+                      file=sys.stderr)
+                dists = np.asarray(_requant_compare_images(
+                    bases, qs, pi0s, hs, ws, wb, hb, factors,
+                    fused=False))
             for j, i in enumerate(sub):
                 results[i] = dists[j]
     return results

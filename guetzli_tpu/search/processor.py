@@ -187,8 +187,10 @@ class Processor:
             [c.coeffs for c in img.components],
             [c.factor_x for c in img.components])
         # deeper speculation while per-compare device cost is small
-        canvas_mpix = self.comparator.hb * self.comparator.wb / 1e6
-        depth, nslots = (3, 8) if canvas_mpix <= 2.3 else (2, 4)
+        from guetzli_tpu.metric.fused_pallas import quant_search_nslots
+        nslots = quant_search_nslots(self.comparator.hb,
+                                     self.comparator.wb)
+        depth = 3 if nslots == 8 else 2
 
         def finish(q, dist) -> quant_search.QuantData:
             """Host half of a visited candidate: serialization for the

@@ -138,10 +138,11 @@ def test_probe_fused_fallback(monkeypatch):
     pi0 = separate_frequencies(
         opsin_dynamics_image(jnp.asarray(lin0), (h, w)), (h, w))
 
-    fp._BROKEN_BUCKETS.discard((H, W))
-    fp._PROBED_OK.discard((H, W))
+    key = fp.bucket_key(H, W)   # probe/broken keys are PADDED canvas dims
+    fp._BROKEN_BUCKETS.discard(key)
+    fp._PROBED_OK.discard(key)
     assert fp.probe_fused(jnp.asarray(lin1), pi0, h, w)
-    assert (H, W) in fp._PROBED_OK
+    assert key in fp._PROBED_OK
     # second probe of the same bucket: cached, no kernel run
     monkeypatch.setattr(fp, "fused_diffmap",
                         lambda *a, **k: (_ for _ in ()).throw(
@@ -149,16 +150,16 @@ def test_probe_fused_fallback(monkeypatch):
     assert fp.probe_fused(jnp.asarray(lin1), pi0, h, w)
 
     # failure path: raising kernel -> False + per-bucket disable
-    fp._PROBED_OK.discard((H, W))
+    fp._PROBED_OK.discard(key)
     def boom(*a, **k):
         raise RuntimeError("RESOURCE_EXHAUSTED: vmem")
     monkeypatch.setattr(fp, "fused_diffmap", boom)
     assert not fp.probe_fused(jnp.asarray(lin1), pi0, h, w)
-    assert (H, W) in fp._BROKEN_BUCKETS
+    assert key in fp._BROKEN_BUCKETS
     assert not fp.fused_metric_eligible(H, W)
     # a different bucket is unaffected (per-bucket, not process-wide)
-    assert (64, 128) not in fp._BROKEN_BUCKETS
+    assert fp.bucket_key(64, 200) not in fp._BROKEN_BUCKETS
     monkeypatch.setenv("GUETZLI_TPU_FUSED_METRIC", "1")
     monkeypatch.setattr(fp, "_ENV", "1")
-    assert fp.fused_metric_eligible(64, 128)
-    fp._BROKEN_BUCKETS.discard((H, W))
+    assert fp.fused_metric_eligible(64, 200)
+    fp._BROKEN_BUCKETS.discard(key)

@@ -73,8 +73,19 @@ def oracle_distance(rgb0, rgb1):
 
 
 def oracle_encode_size(rgb, quality):
+    s, _ = oracle_encode(rgb, quality)
+    return s
+
+
+def oracle_encode(rgb, quality):
+    """Reference-encoder run: (size_bytes, decoded_rgb) or (None, None).
+    The decoded output settles infeasible-target configs (q100 on photo
+    content): when OUR distance misses the target, the contract becomes
+    matching the REFERENCE's achieved distance on the same image
+    (tests/test_corpus.py applies the same fallback)."""
     if not ORACLE.exists():
-        return None
+        return None, None
+    from PIL import Image
     h, w = rgb.shape[:2]
     with tempfile.TemporaryDirectory() as td:
         td = pathlib.Path(td)
@@ -83,7 +94,9 @@ def oracle_encode_size(rgb, quality):
             [str(ORACLE), "encode_rgb", str(w), str(h),
              str(td / "in.rgb"), str(quality), str(td / "out.jpg")],
             capture_output=True, text=True, timeout=3600)
-        return int(r.stdout.split("size=")[1])
+        size = int(r.stdout.split("size=")[1])
+        dec = np.asarray(Image.open(td / "out.jpg").convert("RGB"))
+        return size, dec
 
 
 def decode(b):
@@ -146,8 +159,21 @@ def main():
                "bytes": len(out),
                "oracle_distance": d,
                "target": round(p.butteraugli_target, 4)}
-        if args.oracle_encode:
-            rs = oracle_encode_size(rgb, quality)
+        bound = p.butteraugli_target
+        if d is not None and d > bound * 1.0005:
+            # Possibly-infeasible target: the contract falls back to
+            # the reference's achieved distance on the same image
+            # (test_corpus.py:106-113 applies the identical rule).
+            rs, ref_dec = oracle_encode(rgb, quality)
+            if rs:
+                rec["reference_bytes"] = rs
+                rec["size_ratio"] = round(len(out) / rs, 4)
+                rec["ref_distance"] = oracle_distance(rgb, ref_dec)
+                bound = max(bound, rec["ref_distance"])
+        if d is not None:
+            rec["quality_ok"] = bool(d <= bound * 1.0005)
+        if args.oracle_encode and "reference_bytes" not in rec:
+            rs, _ = oracle_encode(rgb, quality)
             rec["reference_bytes"] = rs
             if rs:
                 rec["size_ratio"] = round(len(out) / rs, 4)
