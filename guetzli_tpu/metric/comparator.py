@@ -150,6 +150,28 @@ def _precompute_pi0_dyn(lin, h, w):
     return xyb, separate_frequencies(xyb, (h, w))
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _precompute_pi0_u8(pad_u8, h, w):
+    """uint8 (3, H, W) padded canvas -> (linear, xyb0, pi0), one device
+    program (the eager srgb conversion paid per-op tunnel dispatches)."""
+    lin = srgb8_to_linear(pad_u8)
+    xyb = opsin_dynamics_image(lin, (h, w))
+    return lin, xyb, separate_frequencies(xyb, (h, w))
+
+
+@jax.jit
+def _block_opsin_u8(pad_u8: jax.Array) -> jax.Array:
+    """uint8 (3, nby*8, nbx*8) edge-padded canvas -> (nby, nbx, 3, 8, 8)
+    per-tile opsin, one launch (the srgb conversion + tile regroup +
+    vmapped opsin ran eagerly before: per-op tunnel dispatches)."""
+    _, H, W = pad_u8.shape
+    nby, nbx = H // 8, W // 8
+    lin = srgb8_to_linear(pad_u8)
+    tiles = lin.reshape(3, nby, 8, nbx, 8).transpose(1, 3, 0, 2, 4)
+    xyb = block_diff.opsin_tiles(tiles.reshape(-1, 3, 8, 8))
+    return xyb.reshape(nby, nbx, 3, 8, 8)
+
+
 @jax.jit
 def _mask_self_dyn(xyb0, h, w):
     return mask_fn(xyb0, xyb0, (h, w))
@@ -469,14 +491,13 @@ class ButteraugliComparatorTPU(Comparator):
                 self.fused = fused_metric_eligible(self.hb, self.wb)
             pad = np.zeros((self.hb, self.wb, 3), dtype=np.uint8)
             pad[:self.height, :self.width] = self.rgb_orig
-            lin = jnp.asarray(pad.transpose(2, 0, 1))
+            pad_dev = jnp.asarray(pad.transpose(2, 0, 1))
             if self.sp_mesh is not None:
                 # sp: image rows sharded over the worker's submesh; GSPMD
                 # partitions the metric pipeline (halo exchanges + pmax)
-                lin = runtime.shard_rows(lin, self.sp_mesh, 1)
-            lin = srgb8_to_linear(lin)
-            self._xyb0, self._pi0 = _precompute_pi0_dyn(
-                lin, jnp.int32(self.height), jnp.int32(self.width))
+                pad_dev = runtime.shard_rows(pad_dev, self.sp_mesh, 1)
+            lin, self._xyb0, self._pi0 = _precompute_pi0_u8(
+                pad_dev, jnp.int32(self.height), jnp.int32(self.width))
             if self.fused:
                 # One-time hardware self-test per bucket: a Pallas
                 # failure (VMEM overflow on an untried canvas) degrades
@@ -803,11 +824,7 @@ class ButteraugliComparatorTPU(Comparator):
         semantics, batched over every block)."""
         h, w = self.height, self.width
         nby, nbx = -(-h // 8), -(-w // 8)
-        lin = srgb8_to_linear(
-            jnp.asarray(self.rgb_orig.transpose(2, 0, 1)))
-        lin = jnp.pad(lin, ((0, 0), (0, nby * 8 - h), (0, nbx * 8 - w)),
-                      mode="edge")
-        tiles = lin.reshape(3, nby, 8, nbx, 8).transpose(1, 3, 0, 2, 4)
-        flat = tiles.reshape(-1, 3, 8, 8)
-        xyb = block_diff.opsin_tiles(flat)
-        return xyb.reshape(nby, nbx, 3, 8, 8)
+        pad = np.pad(self.rgb_orig,
+                     ((0, nby * 8 - h), (0, nbx * 8 - w), (0, 0)),
+                     mode="edge")
+        return _block_opsin_u8(jnp.asarray(pad.transpose(2, 0, 1)))

@@ -267,9 +267,12 @@ def _refine_handler(payloads: List[dict], cache: dict) -> List[tuple]:
                 # same executable single-image mode uses, so outputs
                 # stay correct, just slower for this group.
                 import sys
+                import traceback
                 print(f"guetzli_tpu: batched refine chunk failed for "
                       f"cfg {cfg} ({type(e).__name__}); running the "
                       f"group unbatched", file=sys.stderr)
+                if os.environ.get("GUETZLI_TPU_DEBUG_FALLBACK"):
+                    traceback.print_exc(file=sys.stderr)
                 for i in sub:
                     p = payloads[i]
                     carry, pulled = rd.refine_chunk(p["carry"],
