@@ -525,13 +525,25 @@ def stack_pi0(pi0: PsychoImage) -> jax.Array:
                             jnp.asarray(pi0.hf), jnp.asarray(pi0.uhf)])
 
 
+def _prep_aux(h: jax.Array, w: jax.Array, H: int, W: int):
+    """(B,) true dims -> ((B, 2) hw, (B, 9, H, 1) invh, (B, 9, 1, W)
+    invw) kernel operands. Computed OUTSIDE the custom_vmap'd entry:
+    building these embeds the 18 per-sigma blur prefix tables as jaxpr
+    consts, and jax.custom_vmap asserts its function's consts are
+    unbatched — a vmapped lax.while_loop whose predicate is batched
+    (the refine chunk's per-lane phase_done) broadcasts body consts,
+    tripping that assert at trace time. With the aux passed as formal
+    args the custom_vmap jaxpr is const-free and batches cleanly."""
+    invh, invw = jax.vmap(lambda hh, ww: _inv_weights(hh, ww, H, W))(h, w)
+    hw = jnp.stack([h, w], axis=1).astype(jnp.int32)
+    return hw, invh, invw
+
+
 def _mega_pallas_call(lin: jax.Array, pi0_stack: jax.Array,
-                      h: jax.Array, w: jax.Array,
+                      hw: jax.Array, invh: jax.Array, invw: jax.Array,
                       interpret: bool) -> jax.Array:
     """The raw mega-kernel launch at tile-aligned (H, W)."""
     B, _, H, W = lin.shape
-    invh, invw = jax.vmap(lambda hh, ww: _inv_weights(hh, ww, H, W))(h, w)
-    hw = jnp.stack([h, w], axis=1).astype(jnp.int32)
     return pl.pallas_call(
         _kernel,
         grid=(B,),
@@ -558,7 +570,8 @@ def _mega_pallas_call(lin: jax.Array, pi0_stack: jax.Array,
 
 @jax.custom_batching.custom_vmap
 def _fused_diffmap_batch_tpu(lin: jax.Array, pi0_stack: jax.Array,
-                             h: jax.Array, w: jax.Array) -> jax.Array:
+                             hw: jax.Array, invh: jax.Array,
+                             invw: jax.Array) -> jax.Array:
     """Hardware (non-interpret) fused diffmap at tile-aligned (H, W),
     with a custom vmap rule: the kernels are elementwise over their
     leading batch axis (grid lanes), so vmapping = flattening the new
@@ -568,29 +581,33 @@ def _fused_diffmap_batch_tpu(lin: jax.Array, pi0_stack: jax.Array,
     blocks having the same block shape as the array") — every vmapped
     caller (batch-mode quant search/refine groups) would lose the fused
     path. Flattening is also faster: a (G, B)-nested call becomes ONE
-    G*B-lane launch."""
+    G*B-lane launch. Takes the precomputed (hw, invh, invw) aux (see
+    _prep_aux) so its jaxpr closes over no array consts."""
     H, W = lin.shape[-2:]
     if _bucket_path(H, W) == "staged":
         from guetzli_tpu.metric import fused_staged
-        return fused_staged.staged_pallas_calls(lin, pi0_stack, h, w,
+        return fused_staged.staged_pallas_calls(lin, pi0_stack, hw,
+                                                invh, invw,
                                                 interpret=False)
-    return _mega_pallas_call(lin, pi0_stack, h, w, interpret=False)
+    return _mega_pallas_call(lin, pi0_stack, hw, invh, invw,
+                             interpret=False)
 
 
 @_fused_diffmap_batch_tpu.def_vmap
-def _fused_diffmap_vmap_rule(axis_size, in_batched, lin, pi0_stack, h, w):
+def _fused_diffmap_vmap_rule(axis_size, in_batched, lin, pi0_stack, hw,
+                             invh, invw):
     def bcast(x, batched):
         if batched:
             return x
         return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
 
-    lin, pi0_stack, h, w = (
-        bcast(x, b) for x, b in zip((lin, pi0_stack, h, w), in_batched))
+    lin, pi0_stack, hw, invh, invw = (
+        bcast(x, b) for x, b in zip((lin, pi0_stack, hw, invh, invw),
+                                    in_batched))
     B = lin.shape[1]
     out = _fused_diffmap_batch_tpu(
-        lin.reshape((-1,) + lin.shape[2:]),
-        pi0_stack.reshape((-1,) + pi0_stack.shape[2:]),
-        h.reshape(-1), w.reshape(-1))
+        *(x.reshape((-1,) + x.shape[2:])
+          for x in (lin, pi0_stack, hw, invh, invw)))
     # out: (axis_size * B, H, W) -> (axis_size, B, H, W)
     return out.reshape((axis_size, B) + out.shape[1:]), True
 
@@ -620,13 +637,16 @@ def fused_diffmap_batch(lin: jax.Array, pi0_stack: jax.Array,
                                  jnp.pad(pi0_stack, pad), h, w,
                                  interpret=interpret)
         return dm[:, :H, :W]
+    hw, invh, invw = _prep_aux(h, w, H, W)
     if interpret:
         if _bucket_path(H, W) == "staged":
             from guetzli_tpu.metric import fused_staged
-            return fused_staged.staged_pallas_calls(lin, pi0_stack, h, w,
+            return fused_staged.staged_pallas_calls(lin, pi0_stack, hw,
+                                                    invh, invw,
                                                     interpret=True)
-        return _mega_pallas_call(lin, pi0_stack, h, w, interpret=True)
-    return _fused_diffmap_batch_tpu(lin, pi0_stack, h, w)
+        return _mega_pallas_call(lin, pi0_stack, hw, invh, invw,
+                                 interpret=True)
+    return _fused_diffmap_batch_tpu(lin, pi0_stack, hw, invh, invw)
 
 
 def fused_diffmap(lin: jax.Array, pi0: PsychoImage, h, w,

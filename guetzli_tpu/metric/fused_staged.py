@@ -260,16 +260,15 @@ _RUN_MASK = _make_stage("mask", 1, 1, _mask_body)
 
 
 def staged_pallas_calls(lin: jax.Array, pi0_stack: jax.Array,
-                        h: jax.Array, w: jax.Array,
-                        interpret: bool) -> jax.Array:
+                        hw: jax.Array, invh: jax.Array,
+                        invw: jax.Array, interpret: bool) -> jax.Array:
     """The four staged launches at 128-aligned W (the aligned core that
     fused_pallas dispatches to; its custom vmap rule flattens batch
-    axes into the stage grids)."""
+    axes into the stage grids). (hw, invh, invw) come precomputed from
+    fp._prep_aux so this function stays const-free under custom_vmap
+    (see _prep_aux's docstring)."""
     B, _, H, W = lin.shape
-    invh, invw = jax.vmap(
-        lambda hh, ww: fp._inv_weights(hh, ww, H, W))(h, w)
     invw = invw[:, :, 0, :]                       # (B, 9, W)
-    hw = jnp.stack([h, w], axis=1).astype(jnp.int32)
 
     xyb = _RUN_OPSIN([lin], invh, invw, hw, H, W, interpret)
     pi1 = _RUN_FREQ([xyb], invh, invw, hw, H, W, interpret)
@@ -293,4 +292,5 @@ def staged_diffmap_batch(lin: jax.Array, pi0_stack: jax.Array,
                                   jnp.pad(pi0_stack, pad), h, w,
                                   interpret=interpret)
         return dm[:, :, :W]
-    return staged_pallas_calls(lin, pi0_stack, h, w, interpret)
+    hw, invh, invw = fp._prep_aux(h, w, H, W)
+    return staged_pallas_calls(lin, pi0_stack, hw, invh, invw, interpret)

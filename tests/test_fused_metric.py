@@ -163,3 +163,48 @@ def test_probe_fused_fallback(monkeypatch):
     monkeypatch.setattr(fp, "_ENV", "1")
     assert fp.fused_metric_eligible(64, 200)
     fp._BROKEN_BUCKETS.discard(key)
+
+
+def test_fused_under_batched_predicate_while(monkeypatch):
+    """Regression: a vmapped lax.while_loop whose predicate depends on
+    batched carry (the batched refine chunk's per-lane phase_done)
+    broadcasts the body jaxpr's consts; jax.custom_vmap asserts its
+    function closes over no batched consts. The kernel entry therefore
+    takes the blur-weight aux (hw/invh/invw) as formal args (_prep_aux)
+    instead of building it inside. This traces the hardware custom_vmap
+    path (backend faked to tpu; trace only, nothing lowered)."""
+    from guetzli_tpu.metric.comparator import _compare_coeffs_impl
+    from guetzli_tpu.metric.diffmap import PsychoImage
+
+    monkeypatch.setattr(fp.jax, "default_backend", lambda: "tpu")
+    H, W = 304, 480
+    nby, nbx = H // 8, W // 8
+
+    def one(coeffs, pi0_planes, h, w):
+        pi0 = PsychoImage(lf=tuple(pi0_planes[i] for i in range(3)),
+                          mf=tuple(pi0_planes[i] for i in (3, 4, 5)),
+                          hf=tuple(pi0_planes[i] for i in (6, 7)),
+                          uhf=tuple(pi0_planes[i] for i in (8, 9)))
+
+        def body(state):
+            i, acc = state
+
+            def run(_):
+                c = coeffs + i
+                _, packed = _compare_coeffs_impl(
+                    c, pi0, jnp.float32(1.0), W, H, (1, 1, 1), 1,
+                    valid_hw=(h, w), fused=True)
+                return acc + packed[0]
+
+            acc2 = jax.lax.cond(i < 1, run, lambda _: acc, operand=None)
+            return i + 1, acc2
+
+        # predicate depends on batched carry -> consts get broadcast
+        return jax.lax.while_loop(
+            lambda s: (s[0] < 2) & (s[1] < h.astype(jnp.float32)),
+            body, (jnp.int32(0), jnp.float32(0.)))[1]
+
+    jax.make_jaxpr(jax.vmap(one))(
+        jnp.ones((3, 3, nby, nbx, 64), jnp.int32),
+        jnp.ones((3, 10, H, W)),
+        jnp.full((3,), 258, jnp.int32), jnp.full((3,), 444, jnp.int32))
