@@ -252,15 +252,11 @@ def _refine_handler(payloads: List[dict], cache: dict) -> List[tuple]:
                 pi0s = jax.tree.map(lambda *xs: jnp.stack(xs),
                                     *[p["consts"].pi0 for p in ps_p])
                 cache[pi_key] = pi0s
-            constss = jax.tree.map(
-                lambda *xs: jnp.stack(xs),
-                *[p["consts"]._replace(pi0=()) for p in ps_p])
-            constss = constss._replace(pi0=pi0s)
-            carrys = jax.tree.map(lambda *xs: jnp.stack(xs),
-                                  *[p["carry"] for p in ps_p])
             try:
-                carry_b, pulled_b = rd.refine_chunk_batch(carrys, constss,
-                                                          cfg)
+                carry_t, pulled_b = rd.refine_chunk_group(
+                    tuple(p["carry"] for p in ps_p),
+                    tuple(p["consts"]._replace(pi0=()) for p in ps_p),
+                    pi0s, cfg)
             except Exception as e:          # noqa: BLE001
                 # Trace/compile failure of the vmapped chunk program
                 # (deterministic): run the group's chunks unbatched —
@@ -281,8 +277,7 @@ def _refine_handler(payloads: List[dict], cache: dict) -> List[tuple]:
                 continue
             pulled_np = np.asarray(pulled_b)           # one pull
             for j, i in enumerate(sub):
-                carry_i = jax.tree.map(lambda x: x[j], carry_b)
-                results[i] = (carry_i, pulled_np[j])
+                results[i] = (carry_t[j], pulled_np[j])
     return results
 
 

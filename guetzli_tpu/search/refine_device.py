@@ -792,6 +792,30 @@ def refine_chunk_batch(carrys: RefineCarry, constss: RefineConsts,
         carrys, constss)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def refine_chunk_group(carrys: tuple, constss_nopi: tuple, pi0s,
+                       cfg: RefineCfg):
+    # NOT donated: the handler pads short groups by REPEATING the last
+    # payload, so one buffer may appear in several lanes.
+    """Batched chunk over a TUPLE of per-image trees: the lane
+    stack/unstack happens INSIDE the compiled program. The eager
+    per-flush `jax.tree.map(jnp.stack, ...)` + per-lane slicing this
+    replaces cost ~100 dispatches over the axon link (~40 RefineConsts/
+    RefineCarry leaf stacks + lanes x 15 carry-leaf slices, measured
+    ~1.8 s per flush at 27 ms link latency vs 0.04 s of device work).
+    pi0s: the stacked PsychoImage (cached across chunks by the handler
+    — the planes never change, so they stay one device-resident stack).
+    Returns (tuple of per-lane carries, pulled (B, ...))."""
+    carry_b = jax.tree.map(lambda *xs: jnp.stack(xs), *carrys)
+    consts_b = jax.tree.map(lambda *xs: jnp.stack(xs), *constss_nopi)
+    consts_b = consts_b._replace(pi0=pi0s)
+    carry_out, pulled = jax.vmap(
+        lambda ca, co: _refine_chunk_impl(ca, co, cfg))(carry_b, consts_b)
+    outs = tuple(jax.tree.map(lambda x: x[j], carry_out)
+                 for j in range(len(carrys)))
+    return outs, pulled
+
+
 def _refine_chunk_impl(carry: RefineCarry, consts: RefineConsts,
                        cfg: RefineCfg):
     cumdb3, bits0 = _bits_curve(consts, cfg)
