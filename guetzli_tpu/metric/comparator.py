@@ -651,20 +651,22 @@ class ButteraugliComparatorTPU(Comparator):
                 "wb": self.wb, "hb": self.hb,
                 "factors": self._qs_factors, "fused": self.fused})
         try:
-            dists = _requant_compare_batch_dyn(
+            # The device->host transfer stays INSIDE the try: on an async
+            # backend a fused-kernel execution error only surfaces at
+            # materialization, and it must degrade, not kill the encode.
+            host = np.asarray(_requant_compare_batch_dyn(
                 self._qs_base, jnp.asarray(q_batch, jnp.int32), self._pi0,
                 jnp.int32(self.height), jnp.int32(self.width),
-                self.wb, self.hb, self._qs_factors, fused=self.fused)
+                self.wb, self.hb, self._qs_factors, fused=self.fused))
         except Exception as e:              # noqa: BLE001
             if not self.fused:
                 raise
             self._fused_path_failed(e, "compare_requant_batch")
-            dists = _requant_compare_batch_dyn(
+            host = np.asarray(_requant_compare_batch_dyn(
                 self._qs_base, jnp.asarray(q_batch, jnp.int32), self._pi0,
                 jnp.int32(self.height), jnp.int32(self.width),
-                self.wb, self.hb, self._qs_factors, fused=False)
-        return check_finite_distance(np.asarray(dists),
-                                     "compare_requant_batch")
+                self.wb, self.hb, self._qs_factors, fused=False))
+        return check_finite_distance(host, "compare_requant_batch")
 
     def _compare_coeffs_sync(self, coeff_list, factors, wfactor: int,
                              target_mul: float) -> np.ndarray:

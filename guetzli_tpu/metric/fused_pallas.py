@@ -162,17 +162,24 @@ def quant_search_nslots(canvas_h: int, canvas_w: int) -> int:
     return 8 if canvas_h * canvas_w / 1e6 <= 2.3 else 4
 
 
-def _probe_batch_shapes(key) -> tuple:
+def _probe_batch_shapes(key, h: int, w: int) -> tuple:
     """Batch sizes the encoder can emit fused_diffmap_batch at, for this
     canvas bucket: B=1 (refine / single compares) plus the speculative
-    quant search's slot count. The B=1 case is compiled AND run; the
-    rest are LOWER-checked only — Mosaic's block-mapping validation
-    (the round-3 B>1 failure class) runs during lowering, in seconds,
-    while a full compile is minutes per shape; VMEM-fit failures are
-    per-grid-lane and therefore already covered by the B=1 run.
+    quant search's slot count. nslots is computed from the TRUE image
+    dims (what processor.select_quant_matrix uses) AND from the padded
+    bucket key — for buckets straddling the 2.3 MPix threshold these
+    differ, and the probe's outcome is cached per bucket, so both batch
+    widths must be checked. The B=1 case is compiled AND run; the rest
+    are LOWER-checked only — Mosaic's block-mapping validation (the
+    round-3 B>1 failure class) runs during lowering, in seconds, while
+    a full compile is minutes per shape. VMEM-fit failures at B>1 can
+    escape lowering, but since compare_requant_batch catches execution-
+    time failures at materialization and degrades to the XLA path
+    (comparator._fused_path_failed), they cannot kill the encode.
     tools/lowering_smoke.py full-compiles every signature for the
     pre-commit check."""
-    return (quant_search_nslots(*key),)
+    return tuple(sorted({quant_search_nslots(h, w),
+                         quant_search_nslots(*key)}))
 
 
 def probe_fused(lin: jax.Array, pi0, h: int, w: int) -> bool:
@@ -201,7 +208,7 @@ def probe_fused(lin: jax.Array, pi0, h: int, w: int) -> bool:
             try:
                 jax.block_until_ready(
                     fused_diffmap(lin, pi0, jnp.int32(h), jnp.int32(w)))
-                for B in _probe_batch_shapes(key):
+                for B in _probe_batch_shapes(key, h, w):
                     linb = jnp.broadcast_to(lin[None], (B,) + lin.shape)
                     pi0b = jnp.broadcast_to(
                         stack_pi0(pi0)[None], (B, 10) + lin.shape[-2:])

@@ -257,11 +257,13 @@ def _refine_handler(payloads: List[dict], cache: dict) -> List[tuple]:
                     tuple(p["carry"] for p in ps_p),
                     tuple(p["consts"]._replace(pi0=()) for p in ps_p),
                     pi0s, cfg)
+                pulled_np = np.asarray(pulled_b)       # one pull; async
+                # execution errors surface HERE, so it stays in the try
             except Exception as e:          # noqa: BLE001
-                # Trace/compile failure of the vmapped chunk program
-                # (deterministic): run the group's chunks unbatched —
-                # same executable single-image mode uses, so outputs
-                # stay correct, just slower for this group.
+                # Trace/compile/runtime failure of the vmapped chunk
+                # program (deterministic): run the group's chunks
+                # unbatched — same executable single-image mode uses, so
+                # outputs stay correct, just slower for this group.
                 import sys
                 import traceback
                 print(f"guetzli_tpu: batched refine chunk failed for "
@@ -275,7 +277,6 @@ def _refine_handler(payloads: List[dict], cache: dict) -> List[tuple]:
                                                     p["consts"], cfg)
                     results[i] = (carry, np.asarray(pulled))
                 continue
-            pulled_np = np.asarray(pulled_b)           # one pull
             for j, i in enumerate(sub):
                 results[i] = (carry_t[j], pulled_np[j])
     return results

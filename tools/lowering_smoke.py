@@ -80,7 +80,11 @@ def main():
     for bname in args.buckets.split(","):
         H, W, h, w = BUCKETS[bname]
         path = fp._bucket_path(H, W)
-        nslots = fp.quant_search_nslots(H, W)
+        # nslots from TRUE dims (what the search emits) and from the
+        # padded bucket (what the probe covers) — both compile-checked.
+        nslots = fp.quant_search_nslots(h, w)
+        all_b = sorted({1} | set(
+            fp._probe_batch_shapes(fp.bucket_key(H, W), h, w)))
 
         def diffmap_at(B):
             lin = jnp.zeros((B, 3, H, W), jnp.float32)
@@ -90,7 +94,7 @@ def main():
             jax.jit(fp.fused_diffmap_batch).lower(
                 lin, pi0, hs, ws).compile()
 
-        for B in sorted({1, nslots}):
+        for B in all_b:
             check(f"{bname}/{path}_diffmap_B{B}", lambda B=B: diffmap_at(B))
 
         # batch-mode quant search: vmapped over group lanes
@@ -120,21 +124,24 @@ def main():
             check(f"{bname}/requant_images_lanes{lanes}_B{nslots}",
                   requant_images)
 
-        # zeroing greedy kernel (the other Pallas program in the encode)
+        # zeroing greedy kernel (the other Pallas program in the encode):
+        # compile-only at the dispatcher's piece sizes, honoring this
+        # tool's no-execution contract (run_chunked would execute).
         def zeroing_sig():
-            import numpy as np
             from guetzli_tpu.search import zeroing
             nb = (H // 8) * (W // 8)
-            cur = jnp.zeros((nb, 3, 64), jnp.int32)
-            orig = jnp.zeros((nb, 3, 64), jnp.int32)
-            xyb0 = jnp.zeros((nb, 3, 8, 8), jnp.float32)
-            mask3 = jnp.ones((nb, 3), jnp.float32)
-            vw = jnp.full((nb,), 8, jnp.int32)
-            vh = jnp.full((nb,), 8, jnp.int32)
-            zeroing.run_chunked(
-                zeroing.compute_zeroing_order_batch,
-                (cur, orig, xyb0, mask3, vw, vh),
-                1.0, 64, 3, n_valid=np.zeros(nb, np.int64))
+            for piece in sorted(set(zeroing._piece_sizes(
+                    nb, zeroing.ZEROING_CHUNK))):
+                cur = jnp.zeros((piece, 3, 64), jnp.int32)
+                orig = jnp.zeros((piece, 3, 64), jnp.int32)
+                xyb0 = jnp.zeros((piece, 3, 8, 8), jnp.float32)
+                mask3 = jnp.ones((piece, 3), jnp.float32)
+                vw = jnp.full((piece,), 8, jnp.int32)
+                vh = jnp.full((piece,), 8, jnp.int32)
+                lim = jnp.ones((piece,), jnp.float32)
+                zeroing.compute_zeroing_order_batch.lower(
+                    cur, orig, xyb0, mask3, vw, vh, lim, steps=64,
+                    lookahead=3, new_model=True).compile()
         check(f"{bname}/zeroing_steps64", zeroing_sig)
 
     print(json.dumps({"total_failures": len(failures),
