@@ -16,10 +16,14 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compile cache: repeat suite runs skip the jit compiles
-# (untracked — first run after a fresh checkout pays them once).
+# (untracked — first run after a fresh checkout pays them once). The
+# guard purges it when the host CPU changed (stale AOT code can SIGILL).
 import pathlib as _pathlib
-_cache = _pathlib.Path(__file__).resolve().parent.parent / ".jax_cache_cpu"
-_cache.mkdir(exist_ok=True)
+import sys as _sys
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+from guetzli_tpu.cache_guard import ensure_cache_dir as _ensure_cache
+_cache = ensure_cache = _ensure_cache(
+    _pathlib.Path(__file__).resolve().parent.parent / ".jax_cache_cpu")
 jax.config.update("jax_compilation_cache_dir", str(_cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -59,10 +59,16 @@ def _collective_counts(compiled) -> dict:
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=["dp", "sp"], default=None,
+                    help="run one sweep and merge into the existing JSON")
+    args = ap.parse_args()
+
     import jax
     jax.config.update("jax_platforms", "cpu")
-    cache = REPO / ".jax_cache_cpu"
-    cache.mkdir(exist_ok=True)
+    from guetzli_tpu.cache_guard import ensure_cache_dir
+    cache = ensure_cache_dir(REPO / ".jax_cache_cpu")
     jax.config.update("jax_compilation_cache_dir", str(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
@@ -76,7 +82,11 @@ def main():
     bees = np.asarray(
         Image.open(REPO / "tests" / "data" / "bees.png").convert("RGB"))
 
+    out_path = REPO / "benchmarks" / "SCALING_EFFICIENCY.json"
     result = {"platform": "cpu-virtual-8dev-1core", "ts": time.time()}
+    if args.only and out_path.exists():
+        result = json.loads(out_path.read_text())   # merge mode
+        result["ts"] = time.time()
 
     # ---- 1. dp weak scaling (full encodes) ----
     rng = np.random.default_rng(0)
@@ -87,8 +97,8 @@ def main():
         x = int(rng.integers(0, bees.shape[1] - s))
         crops.append(np.ascontiguousarray(bees[y:y + s, x:x + s]))
     dp_rows = []
-    for n in (1, 2, 4, 8):
-        mesh = pmesh.make_mesh(dp=n, sp=1)
+    for n in (1, 2, 4, 8) if args.only != "sp" else ():
+        mesh = pmesh.make_mesh(dp=n, sp=1, devices=jax.devices()[:n])
         with runtime.use_mesh(mesh):
             t0 = time.time()
             outs = process_batch(crops[:n], quality=95)
@@ -102,19 +112,24 @@ def main():
                         "cold_s": round(cold, 2),
                         "per_image_s": round(warm / n, 2)})
         print(json.dumps(dp_rows[-1]), flush=True)
-    t1 = dp_rows[0]["warm_s"]
-    for r in dp_rows:
-        r["work_overhead"] = round(r["warm_s"] / (r["dp"] * t1), 3)
-        r["projected_concurrent_efficiency"] = round(
-            min(1.0, 1.0 / max(r["work_overhead"], 1e-9)), 3)
-    result["dp_weak_scaling"] = {
-        "note": ("all virtual devices share ONE host core, so compute "
-                 "serializes; warm_s / (dp * warm_s[dp=1]) is the "
-                 "overhead the dp layer adds per image — on real chips "
-                 "rows run concurrently and efficiency ~= 1/overhead"),
-        "image_side": s, "rows": dp_rows}
+    if dp_rows:
+        t1 = dp_rows[0]["warm_s"]
+        for r in dp_rows:
+            r["work_overhead"] = round(r["warm_s"] / (r["dp"] * t1), 3)
+            r["projected_concurrent_efficiency"] = round(
+                min(1.0, 1.0 / max(r["work_overhead"], 1e-9)), 3)
+        result["dp_weak_scaling"] = {
+            "note": ("all virtual devices share ONE host core, so compute "
+                     "serializes; warm_s / (dp * warm_s[dp=1]) is the "
+                     "overhead the dp layer adds per image — on real chips "
+                     "rows run concurrently and efficiency ~= 1/overhead"),
+            "image_side": s, "rows": dp_rows}
 
     # ---- 2. sp sharding overhead at ~2 MPix ----
+    if args.only == "dp":
+        out_path.write_text(json.dumps(result, indent=1))
+        print(f"wrote {out_path}")
+        return
     from guetzli_tpu.jpeg.encoder import encode_rgb_to_jpeg_data
     from guetzli_tpu.ops.gamma import srgb8_to_linear_fast
     from guetzli_tpu.parallel.sharded import (eval_candidate_batch,
@@ -145,33 +160,33 @@ def main():
 
     sp_rows = []
     d_ref = None
-    for sp in (1, 2, 4, 8):
+    for sp in (1, 2, 4, 8) if args.only != "dp" else ():
         if sp == 1:
             fn = jax.jit(lambda c, q, p: eval_candidate_batch(c, q, p,
                                                               H, W))
-            args = (jnp.asarray(coeffs), jnp.asarray(quant), pi0)
+            fargs = (jnp.asarray(coeffs), jnp.asarray(quant), pi0)
         else:
-            mesh = pmesh.make_mesh(dp=1, sp=sp)
+            mesh = pmesh.make_mesh(dp=1, sp=sp,
+                                   devices=jax.devices()[:sp])
             fn = make_sharded_eval(mesh, H, W)
-            args = (jax.device_put(jnp.asarray(coeffs),
-                                   pmesh.batch_coeff_sharding(mesh)),
-                    jax.device_put(jnp.asarray(quant),
-                                   NamedSharding(mesh, P("dp", None,
-                                                         None))),
-                    jax.device_put(pi0, pmesh.batch_image_sharding(mesh)))
-        lowered = jax.jit(fn).lower(*args) if sp == 1 else None
+            fargs = (jax.device_put(jnp.asarray(coeffs),
+                                    pmesh.batch_coeff_sharding(mesh)),
+                     jax.device_put(jnp.asarray(quant),
+                                    NamedSharding(mesh, P("dp", None,
+                                                          None))),
+                     jax.device_put(pi0, pmesh.batch_image_sharding(mesh)))
         t0 = time.time()
-        d, m, q = fn(*args)
+        d, m, q = fn(*fargs)
         jax.block_until_ready(d)
         cold = time.time() - t0
         t0 = time.time()
-        d, m, q = fn(*args)
+        d, m, q = fn(*fargs)
         jax.block_until_ready(d)
         warm = time.time() - t0
         row = {"sp": sp, "warm_s": round(warm, 2),
                "cold_s": round(cold, 2), "distance": float(d[0])}
         try:
-            comp = (fn.lower(*args).compile()
+            comp = (fn.lower(*fargs).compile()
                     if hasattr(fn, "lower") else None)
             if comp is not None:
                 row["collectives"] = _collective_counts(comp)
@@ -191,9 +206,8 @@ def main():
                  "on real chips (halo exchanges + cross-shard max)"),
         "rows": sp_rows}
 
-    out = REPO / "benchmarks" / "SCALING_EFFICIENCY.json"
-    out.write_text(json.dumps(result, indent=1))
-    print(f"wrote {out}")
+    out_path.write_text(json.dumps(result, indent=1))
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
