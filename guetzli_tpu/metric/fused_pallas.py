@@ -37,7 +37,10 @@ Design notes:
 from __future__ import annotations
 
 import functools
+import hashlib
+import json
 import os
+import pathlib
 import threading
 
 import numpy as np
@@ -182,6 +185,66 @@ def _probe_batch_shapes(key, h: int, w: int) -> tuple:
                          quant_search_nslots(*key)}))
 
 
+def _probe_cache_file():
+    """Cross-process probe-result store, colocated with the XLA compile
+    cache. A probe's outcome is a pure function of (backend, kernel
+    code, bucket, batch widths), so a fresh process can skip the ~40 s
+    compile-and-run when an earlier process already validated the
+    bucket on this backend. Only OK results persist — a transient
+    failure re-probes next process rather than sticking."""
+    if os.environ.get("GUETZLI_TPU_NO_PROBE_CACHE"):
+        return None
+    cache_dir = jax.config.jax_compilation_cache_dir
+    if not cache_dir:
+        return None
+    return pathlib.Path(cache_dir) / "probe_ok.json"
+
+
+@functools.lru_cache(maxsize=1)
+def _probe_salt() -> str:
+    """Invalidates persisted probe results when the kernel code or the
+    backend changes."""
+    h = hashlib.sha256()
+    for mod in ("fused_pallas.py", "fused_staged.py"):
+        p = pathlib.Path(__file__).parent / mod
+        if p.exists():
+            h.update(p.read_bytes())
+    dev = jax.devices()[0]
+    h.update(f"{jax.default_backend()}/{dev.device_kind}".encode())
+    return h.hexdigest()[:16]
+
+
+def _probe_cache_lookup(key, h, w):
+    """Returns the persisted path ('mega'/'staged') for an OK bucket
+    whose probed batch widths cover this call's, else None."""
+    f = _probe_cache_file()
+    if f is None or not f.exists():
+        return None
+    try:
+        data = json.loads(f.read_text())
+    except (OSError, ValueError):
+        return None
+    rec = data.get(f"{key[0]}x{key[1]}/{_probe_salt()}")
+    if rec and set(_probe_batch_shapes(key, h, w)) <= set(rec["b"]):
+        return rec["path"]
+    return None
+
+
+def _probe_cache_store(key, h, w, path):
+    f = _probe_cache_file()
+    if f is None:
+        return
+    try:
+        data = json.loads(f.read_text()) if f.exists() else {}
+        data[f"{key[0]}x{key[1]}/{_probe_salt()}"] = {
+            "path": path, "b": sorted(_probe_batch_shapes(key, h, w))}
+        tmp = f.with_suffix(".tmp")
+        tmp.write_text(json.dumps(data, indent=1))
+        tmp.replace(f)
+    except OSError:
+        pass
+
+
 def probe_fused(lin: jax.Array, pi0, h: int, w: int) -> bool:
     """Hardware self-test of the fused kernel for this canvas bucket:
     compile + run it once at B=1 (result discarded; the encode's
@@ -192,10 +255,12 @@ def probe_fused(lin: jax.Array, pi0, h: int, w: int) -> bool:
     lowering failure that a B=1-only probe was blind to). Returns
     False — and marks the BUCKET broken — on failure; callers fall back
     to the XLA metric path, which computes the same diffmap. One probe
-    per (H, W) bucket per process; the first probe's outcome is
-    permanent, so every comparator of a bucket makes the same choice.
-    Locked per bucket so concurrent batch workers probing different
-    buckets don't serialize."""
+    per (H, W) bucket per process, and OK outcomes persist next to the
+    XLA compile cache so later processes skip the probe entirely (the
+    cold-start cost was ~40 s per fresh CLI run; outcomes are keyed by
+    backend + kernel-source hash, see _probe_salt). Locked per bucket
+    so concurrent batch workers probing different buckets don't
+    serialize."""
     key = bucket_key(*lin.shape[-2:])
     with _PROBE_LOCKS_GUARD:
         lock = _PROBE_LOCKS.setdefault(key, threading.Lock())
@@ -203,6 +268,11 @@ def probe_fused(lin: jax.Array, pi0, h: int, w: int) -> bool:
         if key in _BROKEN_BUCKETS:
             return False
         if key in _PROBED_OK:
+            return True
+        cached_path = _probe_cache_lookup(key, h, w)
+        if cached_path is not None:
+            _BUCKET_PATH.setdefault(key, cached_path)
+            _PROBED_OK.add(key)
             return True
         while True:
             try:
@@ -217,6 +287,7 @@ def probe_fused(lin: jax.Array, pi0, h: int, w: int) -> bool:
                     jax.jit(fused_diffmap_batch).lower(linb, pi0b,
                                                        hb, wb)
                 _PROBED_OK.add(key)
+                _probe_cache_store(key, h, w, _bucket_path(*key))
                 return True
             except Exception as e:              # noqa: BLE001
                 import sys

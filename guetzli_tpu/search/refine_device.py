@@ -52,7 +52,13 @@ import jax.numpy as jnp
 from guetzli_tpu.jpeg.data import NATURAL_ORDER
 from guetzli_tpu.metric.comparator import _compare_coeffs_impl
 
-REFINE_K = 16            # refinement iterations per device chunk
+# Refinement iterations per device chunk. Each chunk costs one link
+# round trip + one host entropy refresh; more iterations per chunk
+# amortize both, at the price of a staler in-loop size estimate between
+# refreshes (the acceptance itself is exact either way — the estimate
+# only steers candidate counts). Env knob for A/B measurement.
+import os as _os
+REFINE_K = int(_os.environ.get("GUETZLI_TPU_REFINE_K", "16"))
 _BISECT_ITERS = 22       # covers N*steps up to 4M candidates
 
 # zigzag positions 1..63 -> natural (row-major) index

@@ -132,6 +132,7 @@ def test_probe_fused_fallback(monkeypatch):
     """probe_fused validates a bucket once; a kernel failure disables the
     fused path for THAT BUCKET only instead of propagating (the encode
     then uses the XLA metric path; other buckets keep the kernel)."""
+    monkeypatch.setenv("GUETZLI_TPU_NO_PROBE_CACHE", "1")
     rng = np.random.default_rng(7)
     H, W, h, w = 48, 112, 41, 103
     lin0, lin1 = _pair(rng, H, W, h, w)
@@ -208,3 +209,49 @@ def test_fused_under_batched_predicate_while(monkeypatch):
         jnp.ones((3, 3, nby, nbx, 64), jnp.int32),
         jnp.ones((3, 10, H, W)),
         jnp.full((3,), 258, jnp.int32), jnp.full((3,), 444, jnp.int32))
+
+
+def test_probe_result_persistence(monkeypatch, tmp_path):
+    """A successful probe's outcome persists next to the XLA compile
+    cache: a 'fresh process' (cleared in-memory sets, same cache dir)
+    skips the compile-and-run entirely — the cold-start path. Failures
+    do NOT persist (transients re-probe next process), and a kernel-
+    source change invalidates the store (salt mismatch)."""
+    import jax as _jax
+    monkeypatch.delenv("GUETZLI_TPU_NO_PROBE_CACHE", raising=False)
+    old_dir = _jax.config.jax_compilation_cache_dir
+    _jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+    try:
+        rng = np.random.default_rng(11)
+        H, W, h, w = 48, 112, 41, 103
+        lin0, lin1 = _pair(rng, H, W, h, w)
+        pi0 = separate_frequencies(
+            opsin_dynamics_image(jnp.asarray(lin0), (h, w)), (h, w))
+        key = fp.bucket_key(H, W)
+        fp._BROKEN_BUCKETS.discard(key)
+        fp._PROBED_OK.discard(key)
+        assert fp.probe_fused(jnp.asarray(lin1), pi0, h, w)
+        assert (tmp_path / "probe_ok.json").exists()
+
+        # fresh process: in-memory caches empty, store present -> no run
+        fp._PROBED_OK.discard(key)
+        monkeypatch.setattr(fp, "fused_diffmap",
+                            lambda *a, **k: (_ for _ in ()).throw(
+                                AssertionError("probe not skipped")))
+        assert fp.probe_fused(jnp.asarray(lin1), pi0, h, w)
+        assert key in fp._PROBED_OK
+
+        # salt mismatch (kernel code changed) -> store ignored, re-probe
+        fp._PROBED_OK.discard(key)
+        monkeypatch.setattr(fp, "_probe_salt", lambda: "deadbeef")
+        def boom(*a, **k):
+            raise RuntimeError("RESOURCE_EXHAUSTED: vmem")
+        monkeypatch.setattr(fp, "fused_diffmap", boom)
+        assert not fp.probe_fused(jnp.asarray(lin1), pi0, h, w)
+        # ... and the failure did not overwrite the persisted OK
+        import json as _json
+        data = _json.loads((tmp_path / "probe_ok.json").read_text())
+        assert all(v.get("path") for v in data.values())
+        fp._BROKEN_BUCKETS.discard(key)
+    finally:
+        _jax.config.update("jax_compilation_cache_dir", old_dir)
