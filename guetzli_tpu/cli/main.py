@@ -40,7 +40,7 @@ def _encode_one(data: bytes, args) -> bytes:
         try_420=getattr(args, "try_420", False),
         force_420=getattr(args, "force_420", False),
         use_silver_screen=getattr(args, "use_silver_screen", False),
-        distance_margin=getattr(args, "distance_margin", 1.0))
+        distance_margin=getattr(args, "distance_margin", 0.998))
     stats = ProcessStats()
     if args.verbose:
         # reference wiring: debug sink = stderr (guetzli.cc:279-281)
@@ -114,11 +114,13 @@ def main(argv=None) -> int:
     p.add_argument("--silver-screen", action="store_true",
                    dest="use_silver_screen",
                    help="gamma-aware iterative chroma downsampling")
-    p.add_argument("--distance-margin", type=float, default=1.0,
+    p.add_argument("--distance-margin", type=float, default=0.998,
                    dest="distance_margin", metavar="M",
-                   help="multiply the butteraugli target by M (<1 adds "
-                        "headroom so the f64-measured distance stays "
-                        "strictly under the nominal target; see PARITY.md)")
+                   help="multiply the butteraugli target by M (default "
+                        "0.998: headroom so the f64-measured distance "
+                        "stays at/under the nominal target despite the "
+                        "f32 device metric; 1.0 = reference-identical "
+                        "acceptance arithmetic; see PARITY.md)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax profiler trace into DIR")
     p.add_argument("input", help="input PNG/JPEG, '-' for stdin, or a "
@@ -183,7 +185,7 @@ def _run_cli(args) -> int:
                                                    "use_silver_screen",
                                                    False),
                          distance_margin=getattr(args, "distance_margin",
-                                                 1.0))
+                                                 0.998))
         outs = process_batch(inputs, quality=args.quality, params=bparams,
                              on_complete=write_done)
         failures = 0
