@@ -454,11 +454,14 @@ def process_batch(inputs: Sequence, quality: float = 95.0,
     results: List[Optional[bytes]] = [None] * n
     errors: List[Optional[BaseException]] = [None] * n
     batcher = make_batcher(timeout=timeout)
-    # Default concurrency scales with host cores: the on-device engine
-    # keeps the chip busy, so extra threads only add host-side
-    # contention (measured: 16 workers on a 1-core host ran SLOWER per
-    # image than sequential singles).
-    default_workers = min(16, 4 * (os.cpu_count() or 1))
+    # Default concurrency: enough workers to FILL the vmap lane groups
+    # (8 for bees-class canvases). With the quiescence-flush batcher,
+    # 16 workers measured fastest on a 1-core host (BATCH_AB.json:
+    # 78.5 s vs 129-131 s at 4/8 workers for batch16 — more in-flight
+    # images mean fuller groups and better link-latency overlap); the
+    # old poll/deadline batcher lost with many workers, which is where
+    # the previous cores-scaled default came from.
+    default_workers = 16
     max_workers = int(os.environ.get("GUETZLI_TPU_BATCH_WORKERS",
                                      str(default_workers)))
     slots = threading.Semaphore(max_workers)

@@ -56,7 +56,8 @@ class DeviceBatcher:
         self._pending: List[dict] = []   # submitted, not yet executing
         self.stats = {"flushes": 0, "requests": 0, "handler_s": 0.0,
                       "group_sizes": {}, "quiescence_flushes": 0,
-                      "cap_flushes": 0, "deadline_flushes": 0}
+                      "cap_flushes": 0, "deadline_flushes": 0,
+                      "by_kind": {}}
         self.cache: Dict[Any, Any] = {}  # handler scratch (stacked pi0s)
 
     def register(self) -> None:
@@ -147,6 +148,7 @@ class DeviceBatcher:
         t0 = time.time()
         try:
             for kind, reqs in by_kind.items():
+                tk = time.time()
                 try:
                     results = self._handlers[kind](
                         [r["payload"] for r in reqs], self.cache)
@@ -158,6 +160,12 @@ class DeviceBatcher:
                     for r in reqs:
                         if r["result"] is None:
                             r["error"] = e
+                finally:
+                    ks = self.stats["by_kind"].setdefault(
+                        kind, {"calls": 0, "requests": 0, "seconds": 0.0})
+                    ks["calls"] += 1
+                    ks["requests"] += len(reqs)
+                    ks["seconds"] += time.time() - tk
         finally:
             self.stats["handler_s"] += time.time() - t0
             self._cv.acquire()

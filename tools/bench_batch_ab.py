@@ -106,6 +106,8 @@ def main():
             "cap_flushes": st.get("cap_flushes"),
             "deadline_flushes": st.get("deadline_flushes"),
             "group_sizes": dict(sorted(st["group_sizes"].items())),
+            "by_kind": {k: {**v, "seconds": round(v["seconds"], 1)}
+                        for k, v in st.get("by_kind", {}).items()},
         }
         report[f"workers{w}"] = row
         print(json.dumps({"config": f"workers{w}", **row}), flush=True)
