@@ -77,7 +77,7 @@ def oracle_encode_size(rgb, quality):
     return s
 
 
-def oracle_encode(rgb, quality):
+def oracle_encode(rgb, quality, force_420=False):
     """Reference-encoder run: (size_bytes, decoded_rgb) or (None, None).
     The decoded output settles infeasible-target configs (q100 on photo
     content): when OUR distance misses the target, the contract becomes
@@ -90,10 +90,15 @@ def oracle_encode(rgb, quality):
     with tempfile.TemporaryDirectory() as td:
         td = pathlib.Path(td)
         rgb.astype(np.uint8).tofile(td / "in.rgb")
+        import os as _os
+        env = dict(_os.environ)
+        if force_420:
+            env["ORACLE_FORCE_420"] = "1"   # apples-to-apples: the
+            # reference 4:2:0 path (preprocess_downsample.cc:157-279)
         r = subprocess.run(
             [str(ORACLE), "encode_rgb", str(w), str(h),
              str(td / "in.rgb"), str(quality), str(td / "out.jpg")],
-            capture_output=True, text=True, timeout=3600)
+            capture_output=True, text=True, timeout=7200, env=env)
         size = int(r.stdout.split("size=")[1])
         dec = np.asarray(Image.open(td / "out.jpg").convert("RGB"))
         return size, dec
@@ -144,6 +149,7 @@ def main():
 
     def run_single(name, rgb, quality, params=None):
         p = params or Params()
+        f420 = bool(p.force_420)
         p.butteraugli_target = butteraugli_score_for_quality(quality)
         mpix = rgb.shape[0] * rgb.shape[1] / 1e6
         times = []
@@ -164,7 +170,7 @@ def main():
             # Possibly-infeasible target: the contract falls back to
             # the reference's achieved distance on the same image
             # (test_corpus.py:106-113 applies the identical rule).
-            rs, ref_dec = oracle_encode(rgb, quality)
+            rs, ref_dec = oracle_encode(rgb, quality, force_420=f420)
             if rs:
                 rec["reference_bytes"] = rs
                 rec["size_ratio"] = round(len(out) / rs, 4)
@@ -173,7 +179,7 @@ def main():
         if d is not None:
             rec["quality_ok"] = bool(d <= bound * 1.0005)
         if args.oracle_encode and "reference_bytes" not in rec:
-            rs, _ = oracle_encode(rgb, quality)
+            rs, _ = oracle_encode(rgb, quality, force_420=f420)
             rec["reference_bytes"] = rs
             if rs:
                 rec["size_ratio"] = round(len(out) / rs, 4)

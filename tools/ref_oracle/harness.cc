@@ -81,6 +81,10 @@ int main(int argc, char** argv) {
     guetzli::Params params;
     guetzli::ProcessStats stats;
     if (getenv("ORACLE_VERBOSE")) stats.debug_output_file = stderr;
+    // 4:2:0 parity probes (guetzli/processor.h:29-37 knobs, not
+    // CLI-exposed in the reference either)
+    if (getenv("ORACLE_FORCE_420")) params.force_420 = true;
+    if (getenv("ORACLE_TRY_420")) params.try_420 = true;
     std::string out;
     bool ok;
     if (mode == "encode_rgb") {

@@ -27,6 +27,7 @@ import numpy as np
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO / "tools"))
+sys.path.insert(0, str(REPO))
 ORACLE = REPO / "tools" / "ref_oracle" / "build" / "oracle"
 Q95_TARGET = 0.9718234
 
