@@ -115,10 +115,10 @@ def main():
                         np.uint8)
             for _ in range(BATCH)]
 
-    # Worker count: process_batch's default scales with host cores
-    # (min(16, 4*cores)). Forcing 16 on a 1-core host measured 20.8
-    # s/image vs 6.7 s single-mode (2026-08-18 window) — host-side GIL
-    # thrash, not chip time — so trust the adaptive default here.
+    # Worker count: process_batch defaults to 16 workers — with the
+    # quiescence-triggered batcher, more in-flight searches coalesce
+    # into larger vmapped device groups (BATCH_AB.json: 16 workers
+    # 2.78x a serial loop; the old poll/deadline batcher lost here).
 
     # --- warm-up: compiles/loads everything (single-mode AND the
     # grouped batch executables); never reported ---
